@@ -1,0 +1,133 @@
+"""Unified dataclass config tree.
+
+The reference has no unified config: each task script uses argparse and the
+decoder architecture comes from DeepSDF ``specs.json`` (SURVEY.md §5,
+"Config / flag system"). Here everything lives in one frozen-dataclass tree so
+configs are hashable and can be passed as static args under ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """DeepSDF decoder architecture (mirror of specs.json "NetworkSpecs").
+
+    Defaults match the published DeepSDF architecture the reference consumes
+    (core/net/deep_sdf_decoder.py in the reference): 8 hidden layers x 512,
+    latent 256, skip-concat of the network input at layer 4, final tanh.
+    """
+
+    latent_size: int = 256
+    hidden_dims: Tuple[int, ...] = (512,) * 8
+    latent_in: Tuple[int, ...] = (4,)
+    xyz_in_all: bool = False
+    use_tanh: bool = False          # tanh between hidden layers (DeepSDF "use_tanh")
+    final_tanh: bool = True         # DeepSDF always applies nn.Tanh() at the output
+    clamp_dist: float = 0.1         # DeepSDF "ClampingDistance" (training-time loss clamp)
+    dropout_prob: float = 0.0       # eval mode: dropout off (reference renders in eval)
+
+    @property
+    def input_dim(self) -> int:
+        return self.latent_size + 3
+
+    @property
+    def layer_dims(self) -> Tuple[Tuple[int, int], ...]:
+        """(in_dim, out_dim) per linear layer, replicating DeepSDF's rule:
+        a layer feeding a skip-concat layer has its output shrunk so that
+        concat([h, input]) lands back on the configured width."""
+        dims = (self.input_dim,) + self.hidden_dims + (1,)
+        out = []
+        n_layers = len(dims) - 1
+        for l in range(n_layers):
+            in_dim = dims[l]
+            out_dim = dims[l + 1]
+            if (l + 1) in self.latent_in and (l + 1) < n_layers:
+                out_dim = out_dim - dims[0]
+            if self.xyz_in_all and 0 < l < n_layers - 1 and l not in self.latent_in:
+                in_dim = in_dim + 3
+            if l in self.latent_in:
+                in_dim = dims[l]  # concat already accounted for by previous shrink
+            out.append((in_dim, out_dim))
+        return tuple(out)
+
+
+@dataclasses.dataclass(frozen=True)
+class MarchConfig:
+    """Sphere-tracing schedule (SURVEY.md §3.1).
+
+    Reference analog: SDFRenderer constructor args in
+    core/sdfrenderer/renderer.py (march_step/threshold defaults tagged
+    [R, verify] in SURVEY.md — mount was empty, values from the paper).
+    """
+
+    max_steps: int = 50
+    alpha: float = 1.5              # aggressive marching gain (paper §3.3)
+    convergence_eps: float = 5e-5   # |sdf| < eps => surface hit (normalized units)
+    sphere_radius: float = 1.0      # DeepSDF shapes normalized into unit sphere
+    far_margin: float = 0.05        # march past sphere exit by this before "miss"
+    use_compaction: bool = True     # periodic fixed-shape live-ray compaction
+    compact_every: int = 8          # steps between compactions
+    coarse_to_fine: bool = False    # staged-resolution marching (perf layer)
+    c2f_levels: int = 3             # 1/4 -> 1/2 -> full resolution
+
+
+@dataclasses.dataclass(frozen=True)
+class GradConfig:
+    """Backward-pass mode for the tracer (SURVEY.md §3.2)."""
+
+    mode: str = "last_step"   # "last_step" (DIST) | "ift" (implicit function thm)
+    ift_min_denom: float = 1e-2   # clamp on n·v in the IFT denominator
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Top-level render configuration."""
+
+    img_h: int = 256
+    img_w: int = 256
+    march: MarchConfig = dataclasses.field(default_factory=MarchConfig)
+    grad: GradConfig = dataclasses.field(default_factory=GradConfig)
+    normal_eps: float = 0.0         # 0 => autograd normals; >0 => central differences
+    background_depth: float = 0.0   # sentinel depth for missed rays
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" (matmul inputs)
+    use_pallas: bool = False        # fused Pallas MLP march kernel
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Inverse-rendering loss weights (SURVEY.md §3.3-3.5)."""
+
+    w_depth: float = 10.0
+    w_silhouette: float = 1.0
+    w_photometric: float = 1.0
+    w_normal: float = 0.0
+    w_latent_reg: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer harness for latent / pose fitting."""
+
+    lr: float = 1e-2
+    steps: int = 200
+    lr_decay_steps: int = 100
+    lr_decay_rate: float = 0.5
+    checkpoint_every: int = 50      # orbax checkpoint cadence (0 = off)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """Mesh layout for multi-chip rendering (SURVEY.md §2 parallelism table)."""
+
+    mesh_axes: Tuple[str, ...] = ("latents", "rays")
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None = infer from device count

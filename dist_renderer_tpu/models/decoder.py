@@ -1,0 +1,188 @@
+"""DeepSDF latent-conditioned MLP decoder as a pure JAX function.
+
+Reference analog: ``core/net/deep_sdf_decoder.py`` (vendored DeepSDF decoder,
+Park et al. CVPR 2019) and ``core/utils/decoder_utils.py`` (``decode_sdf``
+chunked evaluation) in B1ueber2y/DIST-Renderer — see SURVEY.md §2 rows 1-2.
+
+Architecture (defaults): f_theta(z, x) -> sdf with z in R^256, x in R^3;
+8 FC layers x 512 units, ReLU, skip-concat of the full input at layer 4
+(the layer before the skip shrinks its output so the concat lands back on
+512), final tanh. Weight-norm is folded into plain weights at checkpoint
+load time (correct for frozen inference decoders — SURVEY.md §5
+"Checkpoint / resume").
+
+TPU-first differences from the reference:
+  - params are a pytree of plain (W, b); the forward is a pure function,
+    trivially vmap/pjit-able and traceable into Pallas kernels;
+  - matmuls run in a configurable compute dtype (bf16 on TPU) with fp32
+    accumulation via ``preferred_element_type``;
+  - chunked evaluation uses ``lax.map`` over static-shape chunks instead of
+    a Python loop, so it stays inside one XLA computation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dist_renderer_tpu.config import DecoderConfig
+
+Params = Dict[str, Any]
+
+
+def init_decoder_params(
+    key: jax.Array, cfg: DecoderConfig, dtype=jnp.float32
+) -> Params:
+    """He-style init mirroring weight-norm'd linear layers at eval time."""
+    layers = []
+    for (d_in, d_out) in cfg.layer_dims:
+        key, wk = jax.random.split(key)
+        scale = jnp.sqrt(2.0 / d_in)
+        w = jax.random.normal(wk, (d_in, d_out), dtype) * scale
+        b = jnp.zeros((d_out,), dtype)
+        layers.append({"w": w, "b": b})
+    return {"layers": layers}
+
+
+def _matmul(h: jax.Array, w: jax.Array, b: jax.Array, dtype) -> jax.Array:
+    """Matmul in the compute dtype with fp32 accumulation (MXU-friendly)."""
+    out = jax.lax.dot_general(
+        h.astype(dtype),
+        w.astype(dtype),
+        (((h.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out + b.astype(jnp.float32)
+
+
+def decoder_apply(
+    params: Params,
+    latent: jax.Array,
+    points: jax.Array,
+    cfg: DecoderConfig = DecoderConfig(),
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Evaluate f_theta(z, x) -> sdf.
+
+    Args:
+      params: {"layers": [{"w": [in,out], "b": [out]}, ...]}
+      latent: [latent_size] or [N, latent_size]
+      points: [..., 3]
+    Returns:
+      sdf: [...] (points shape minus the last axis), fp32.
+    """
+    pts_shape = points.shape[:-1]
+    x = points.reshape(-1, 3)
+    n = x.shape[0]
+    if latent.ndim == 1:
+        z = jnp.broadcast_to(latent[None, :], (n, latent.shape[-1]))
+    else:
+        z = latent.reshape(-1, latent.shape[-1])
+        z = jnp.broadcast_to(z, (n, latent.shape[-1]))
+    inp = jnp.concatenate([z, x], axis=-1).astype(jnp.float32)
+
+    h = inp
+    n_layers = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        if i in cfg.latent_in:
+            h = jnp.concatenate([h, inp], axis=-1)
+        elif cfg.xyz_in_all and 0 < i < n_layers - 1:
+            h = jnp.concatenate([h, x], axis=-1)
+        h = _matmul(h, layer["w"], layer["b"], compute_dtype)
+        if i == n_layers - 1:
+            # DeepSDF "use_tanh": extra tanh on the final linear output
+            # (DeepSDF's `layer == num_layers - 2` with num_layers = len(dims))
+            if cfg.use_tanh:
+                h = jnp.tanh(h)
+        else:
+            h = jax.nn.relu(h)
+    sdf = h[..., 0]
+    if cfg.final_tanh:
+        sdf = jnp.tanh(sdf)
+    return sdf.reshape(pts_shape)
+
+
+def decode_sdf(
+    params: Params,
+    latent: jax.Array,
+    points: jax.Array,
+    cfg: DecoderConfig = DecoderConfig(),
+    compute_dtype=jnp.float32,
+    chunk: Optional[int] = None,
+) -> jax.Array:
+    """Chunked decoder evaluation, the rebuild of the reference's
+    ``decode_sdf`` (core/utils/decoder_utils.py): broadcasts one latent over
+    N points, evaluating in memory-bounded chunks.
+
+    With ``chunk=None`` evaluates in one shot (the common tracer path —
+    XLA pipelines it). With a chunk size, pads N up to a multiple and runs
+    ``lax.map`` over static-shape chunks (for huge grids, e.g. mesh
+    extraction at 256^3)."""
+    if chunk is None:
+        return decoder_apply(params, latent, points, cfg, compute_dtype)
+    pts = points.reshape(-1, 3)
+    n = pts.shape[0]
+    n_pad = (-n) % chunk
+    pts_p = jnp.pad(pts, ((0, n_pad), (0, 0)))
+    chunks = pts_p.reshape(-1, chunk, 3)
+    f = lambda c: decoder_apply(params, latent, c, cfg, compute_dtype)
+    out = jax.lax.map(f, chunks).reshape(-1)[:n]
+    return out.reshape(points.shape[:-1])
+
+
+def sdf_gradient(
+    params: Params,
+    latent: jax.Array,
+    points: jax.Array,
+    cfg: DecoderConfig = DecoderConfig(),
+    eps: float = 0.0,
+) -> jax.Array:
+    """Spatial gradient d f / d x at each point — used for surface normals.
+
+    eps == 0: exact reverse-mode gradient (sum trick: since each output sdf_i
+    depends only on x_i, grad of sum(sdf) w.r.t. points gives per-point
+    gradients in ONE backward pass — no vmap-of-grad N^2 blowup).
+    eps > 0: central finite differences (6 extra decoder evals), matching the
+    reference's finite-difference normal option (SURVEY.md §3.1 NORMAL)."""
+    if eps > 0.0:
+        offs = jnp.array(
+            [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+            dtype=points.dtype,
+        ) * eps  # [6,3]
+        probe = points[..., None, :] + offs  # [..., 6, 3]
+        s = decoder_apply(params, latent, probe.reshape(-1, 3), cfg)
+        s = s.reshape(points.shape[:-1] + (6,))
+        grad = jnp.stack(
+            [s[..., 0] - s[..., 1], s[..., 2] - s[..., 3], s[..., 4] - s[..., 5]],
+            axis=-1,
+        ) / (2.0 * eps)
+        return grad
+
+    def total(p):
+        return jnp.sum(decoder_apply(params, latent, p, cfg))
+
+    return jax.grad(total)(points)
+
+
+class DeepSDFDecoder:
+    """Thin OO convenience wrapper (functional core above is the real API).
+
+    Mirrors the role of the reference's ``Decoder(nn.Module)`` +
+    ``load_decoder`` pair for users porting scripts across."""
+
+    def __init__(self, cfg: DecoderConfig = DecoderConfig(), params: Optional[Params] = None,
+                 key: Optional[jax.Array] = None):
+        self.cfg = cfg
+        if params is None:
+            params = init_decoder_params(key or jax.random.PRNGKey(0), cfg)
+        self.params = params
+
+    def __call__(self, latent: jax.Array, points: jax.Array, **kw) -> jax.Array:
+        return decode_sdf(self.params, latent, points, self.cfg, **kw)
+
+    def gradient(self, latent: jax.Array, points: jax.Array, eps: float = 0.0) -> jax.Array:
+        return sdf_gradient(self.params, latent, points, self.cfg, eps)

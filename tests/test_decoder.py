@@ -1,0 +1,132 @@
+"""Decoder unit tests: architecture shapes, DeepSDF-rule skip concat,
+weight-norm folding, and golden parity vs a torch reimplementation
+(SURVEY.md §4 'decoder parity vs stored activations')."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dist_renderer_tpu.config import DecoderConfig
+from dist_renderer_tpu.models.checkpoint import (
+    convert_torch_state_dict,
+    fold_weight_norm,
+)
+from dist_renderer_tpu.models.decoder import (
+    decode_sdf,
+    decoder_apply,
+    init_decoder_params,
+    sdf_gradient,
+)
+
+
+def test_layer_dims_deepsdf_default():
+    cfg = DecoderConfig()
+    dims = cfg.layer_dims
+    assert len(dims) == 9
+    assert dims[0] == (259, 512)
+    # layer before the skip shrinks so concat lands back on 512
+    assert dims[3] == (512, 512 - 259)
+    assert dims[4] == (512, 512)
+    assert dims[8] == (512, 1)
+
+
+def test_forward_shapes_and_dtype():
+    cfg = DecoderConfig(hidden_dims=(64,) * 8, latent_size=16)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    z = jnp.zeros((16,))
+    pts = jax.random.normal(jax.random.PRNGKey(1), (37, 3))
+    sdf = decoder_apply(params, z, pts, cfg)
+    assert sdf.shape == (37,)
+    assert sdf.dtype == jnp.float32
+    # final tanh bounds
+    assert float(jnp.max(jnp.abs(sdf))) <= 1.0
+    # arbitrary leading shape
+    sdf2 = decoder_apply(params, z, pts.reshape(37, 1, 3), cfg)
+    assert sdf2.shape == (37, 1)
+    np.testing.assert_allclose(np.asarray(sdf2[:, 0]), np.asarray(sdf), rtol=1e-6)
+
+
+def test_chunked_matches_unchunked():
+    cfg = DecoderConfig(hidden_dims=(32,) * 4, latent_size=8, latent_in=(2,))
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(2), (8,))
+    pts = jax.random.normal(jax.random.PRNGKey(3), (101, 3))
+    full = decode_sdf(params, z, pts, cfg)
+    chunked = decode_sdf(params, z, pts, cfg, chunk=32)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-6)
+
+
+def test_sdf_gradient_matches_finite_diff():
+    cfg = DecoderConfig(hidden_dims=(32,) * 4, latent_size=8, latent_in=(2,))
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(2), (8,)) * 0.1
+    pts = jax.random.normal(jax.random.PRNGKey(3), (5, 3)) * 0.3
+    g_auto = sdf_gradient(params, z, pts, cfg)
+    g_fd = sdf_gradient(params, z, pts, cfg, eps=1e-3)
+    err = np.abs(np.asarray(g_auto) - np.asarray(g_fd))
+    # FD across a ReLU kink legitimately disagrees with the exact gradient
+    # at isolated entries; require agreement almost everywhere.
+    assert (err < 2e-3).mean() >= 0.75, err
+    assert np.median(err) < 1e-4
+
+
+def test_weight_norm_folding():
+    rng = np.random.RandomState(0)
+    v = rng.randn(7, 13).astype(np.float32)
+    g = rng.rand(7).astype(np.float32) + 0.5
+    w = fold_weight_norm(g, v)
+    norms = np.linalg.norm(w, axis=1)
+    np.testing.assert_allclose(norms, g, rtol=1e-5)
+
+
+def _torch_deepsdf(cfg: DecoderConfig, seed: int = 0):
+    """Independent torch reimplementation of the DeepSDF decoder used as a
+    golden oracle for the converter (weight-norm'd linears, skip at 4)."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(seed)
+    dims = [cfg.input_dim] + list(cfg.hidden_dims) + [1]
+    layers = {}
+    mods = []
+    for l in range(len(dims) - 1):
+        out_dim = dims[l + 1]
+        if (l + 1) in cfg.latent_in and (l + 1) < len(dims) - 1:
+            out_dim -= dims[0]
+        lin = nn.utils.weight_norm(nn.Linear(dims[l], out_dim))
+        mods.append(lin)
+    return mods
+
+
+def test_converter_golden_parity_vs_torch():
+    import torch
+
+    cfg = DecoderConfig(hidden_dims=(48,) * 8, latent_size=12, latent_in=(4,))
+    mods = _torch_deepsdf(cfg)
+    sd = {}
+    for i, lin in enumerate(mods):
+        sd[f"lin{i}.weight_g"] = lin.weight_g.detach()
+        sd[f"lin{i}.weight_v"] = lin.weight_v.detach()
+        sd[f"lin{i}.bias"] = lin.bias.detach()
+    params = convert_torch_state_dict(sd, cfg)
+
+    # torch forward replicating DeepSDF semantics
+    z = torch.randn(12)
+    pts = torch.randn(20, 3)
+    inp = torch.cat([z.expand(20, -1), pts], dim=1)
+    x = inp
+    relu = torch.nn.ReLU()
+    for i, lin in enumerate(mods):
+        if i in cfg.latent_in:
+            x = torch.cat([x, inp], dim=1)
+        x = lin(x)
+        if i < len(mods) - 1:
+            x = relu(x)
+    golden = torch.tanh(x[:, 0]).detach().numpy()
+
+    got = decoder_apply(
+        params, jnp.asarray(z.numpy()), jnp.asarray(pts.numpy()), cfg
+    )
+    np.testing.assert_allclose(np.asarray(got), golden, atol=1e-5)
