@@ -1,0 +1,142 @@
+"""shard_map rendering and sharded inverse-rendering steps.
+
+Design (SURVEY.md §2 parallelism table, §5 'Distributed communication
+backend'):
+
+  - The march is embarrassingly parallel over rays: `render_rays` runs
+    inside `shard_map` with the pixel axis split over the "rays" mesh axis.
+    Each shard's `lax.while_loop` exits when ITS rays converge — faster
+    than a global loop that waits for the slowest ray on any chip, and
+    zero communication during the march.
+  - Latent/view batches shard over the "latents" axis (pure DP).
+  - The ONLY collectives are `psum` of loss/grad over the rays axis (the
+    shared latent receives gradient from every ray shard) and gathers at
+    the output boundary — exactly the JAX-collectives rebuild of what the
+    reference never had (it is single-GPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from dist_renderer_tpu.config import LossConfig, RenderConfig
+from dist_renderer_tpu.ops.camera import Camera, pixel_rays
+from dist_renderer_tpu.ops.renderer import RenderOutput, render_rays
+from dist_renderer_tpu.utils import losses as L
+
+
+def render_frame_sharded(
+    sdf_fn: Callable,
+    latent: jax.Array,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    ray_axis: str = "rays",
+):
+    """Render one frame with pixels sharded across `ray_axis`.
+
+    H*W must divide evenly by the axis size (use image sizes that are
+    multiples of the mesh — 256/512 squares always are)."""
+    n_shards = mesh.shape[ray_axis]
+    n_rays = cfg.img_h * cfg.img_w
+    if n_rays % n_shards:
+        raise ValueError(f"{n_rays} rays not divisible by {n_shards} shards")
+
+    origins, dirs = pixel_rays(camera, cfg.img_h, cfg.img_w)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(ray_axis), P(ray_axis)),
+        out_specs=P(ray_axis),
+        check_vma=False,
+    )
+    def _shard(lat, o, v):
+        out = render_rays(sdf_fn, lat, o, v, cfg)
+        # drop scalar/step-shaped trace fields that cannot shard over rays
+        return RenderOutput(
+            depth=out.depth, mask=out.mask, normal=out.normal,
+            min_sdf=out.min_sdf, points=out.points,
+            trace=None,
+        )
+
+    out = _shard(latent, origins, dirs)
+    hw = (cfg.img_h, cfg.img_w)
+    return RenderOutput(
+        depth=out.depth.reshape(hw),
+        mask=out.mask.reshape(hw),
+        normal=out.normal.reshape(hw + (3,)),
+        min_sdf=out.min_sdf.reshape(hw),
+        points=out.points.reshape(hw + (3,)),
+        trace=None,
+    )
+
+
+def make_sharded_fit_step(
+    sdf_fn: Callable,
+    cfg: RenderConfig,
+    loss_cfg: LossConfig,
+    mesh: Mesh,
+    latent_axis: str = "latents",
+    ray_axis: str = "rays",
+    optimizer=None,
+):
+    """Build the jitted multi-chip training step for batched latent fitting
+    (config #5-style: many shapes at once, each frame's rays sharded).
+
+    Layout: latents [B, L] sharded over `latent_axis`; observations
+    [B, N_rays] sharded (B over latents, N over rays). Each device owns a
+    (b_loc, n_loc) tile. Gradient w.r.t. a latent psums over the ray axis
+    only — latents are independent across the latent axis (no collective).
+
+    Returns step(latents, opt_state, origins, dirs, obs_depth, obs_mask)
+    -> (latents, opt_state, loss).
+    """
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+
+    def local_loss(lat_tile, o_tile, v_tile, d_tile, m_tile):
+        # lat_tile [b,L]; o/v [b,n,3]; d/m [b,n]
+        def one(lat, o, v, d, m):
+            out = render_rays(sdf_fn, lat, o, v, cfg)
+            ld = L.depth_loss(out.depth, d, m, out.mask)
+            ls = L.silhouette_loss(out.min_sdf, m)
+            return loss_cfg.w_depth * ld + loss_cfg.w_silhouette * ls \
+                + loss_cfg.w_latent_reg * L.latent_reg(lat)
+
+        per_shape = jax.vmap(one)(lat_tile, o_tile, v_tile, d_tile, m_tile)
+        return jnp.sum(per_shape)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(latent_axis), P(latent_axis, ray_axis), P(latent_axis, ray_axis),
+            P(latent_axis, ray_axis), P(latent_axis, ray_axis),
+        ),
+        out_specs=(P(latent_axis), P()),
+        check_vma=False,
+    )
+    def grad_shard(lat, o, v, d, m):
+        loss, g = jax.value_and_grad(local_loss)(lat, o, v, d, m)
+        # rays of one shape live on several chips: sum their latent grads
+        g = jax.lax.psum(g, ray_axis)
+        loss = jax.lax.psum(loss, (latent_axis, ray_axis))
+        return g, loss
+
+    @jax.jit
+    def step(latents, opt_state, origins, dirs, obs_depth, obs_mask):
+        grads, loss = grad_shard(latents, origins, dirs, obs_depth, obs_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, latents)
+        latents = optax.apply_updates(latents, updates)
+        return latents, opt_state, loss
+
+    return step, optimizer

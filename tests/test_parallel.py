@@ -1,0 +1,88 @@
+"""Multi-device tests on the fake 8-device CPU mesh (SURVEY.md §4
+'Distributed'): sharded render equals single-device render, and the
+sharded batched fit step runs and reduces loss."""
+
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from dist_renderer_tpu.config import LossConfig, MarchConfig, RenderConfig
+from dist_renderer_tpu.models.analytic import latent_sphere_sdf
+from dist_renderer_tpu.ops.camera import Camera, pixel_rays
+from dist_renderer_tpu.ops.renderer import render
+from dist_renderer_tpu.parallel.mesh import make_mesh
+from dist_renderer_tpu.parallel.sharding import (
+    make_sharded_fit_step,
+    render_frame_sharded,
+)
+
+MARCH = MarchConfig(max_steps=48, convergence_eps=1e-5)
+
+
+def _setup(img=32):
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(img, img))
+    cfg = RenderConfig(img_h=img, img_w=img, march=MARCH)
+    return cam, cfg
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single_device():
+    cam, cfg = _setup()
+    f = latent_sphere_sdf()
+    z = jnp.array([0.5])
+
+    ref = render(f, z, cam, cfg)
+    mesh = make_mesh(("rays",))
+    out = render_frame_sharded(f, z, cam, cfg, mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(out.depth), np.asarray(ref.depth), atol=1e-5
+    )
+    assert (np.asarray(out.mask) == np.asarray(ref.mask)).all()
+    np.testing.assert_allclose(
+        np.asarray(out.min_sdf), np.asarray(ref.min_sdf), atol=1e-5
+    )
+
+
+def test_sharded_fit_step_reduces_loss():
+    img = 16
+    cam, cfg = _setup(img)
+    f = latent_sphere_sdf()
+    mesh = make_mesh(("latents", "rays"), (2, 4))
+
+    # batch of 4 shapes with different true radii
+    true_r = jnp.array([[0.4], [0.5], [0.6], [0.45]])
+    o, v = pixel_rays(cam, img, img)
+    n = o.shape[0]
+
+    def gt(r):
+        out = render(f, r, cam, cfg)
+        return out.depth.reshape(-1), out.mask.reshape(-1)
+
+    depths, masks = jax.vmap(gt)(true_r)
+
+    origins = jnp.broadcast_to(o[None], (4, n, 3))
+    dirs = jnp.broadcast_to(v[None], (4, n, 3))
+
+    step, tx = make_sharded_fit_step(f, cfg, LossConfig(), mesh)
+    latents = jnp.full((4, 1), 0.3)
+    opt_state = tx.init(latents)
+
+    losses = []
+    for _ in range(25):
+        latents, opt_state, loss = step(
+            latents, opt_state, origins, dirs, depths, masks
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5
+    # radii move toward truth
+    err0 = np.abs(0.3 - np.asarray(true_r)).mean()
+    err1 = np.abs(np.asarray(latents) - np.asarray(true_r)).mean()
+    assert err1 < err0 * 0.5
