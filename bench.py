@@ -12,6 +12,7 @@ smoke-testing only (--cpu).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -25,29 +26,58 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--backward", action="store_true", default=True)
+    ap.add_argument("--naive", action="store_true",
+                    help="disable c2f/compaction/folded-bf16 fast path")
     args = ap.parse_args()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    # persistent compilation cache: compiles over the TPU tunnel are slow
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from dist_renderer_tpu.config import (
         DecoderConfig, GradConfig, MarchConfig, RenderConfig,
     )
     from dist_renderer_tpu.models.decoder import decoder_apply, init_decoder_params
+    from dist_renderer_tpu.models.folded import make_point_fn
     from dist_renderer_tpu.ops.camera import Camera, pixel_rays
-    from dist_renderer_tpu.ops.renderer import render_rays
+    from dist_renderer_tpu.ops.renderer import render
     from dist_renderer_tpu.utils.losses import masked_l1
 
     img = args.img
     dcfg = DecoderConfig()
-    params = init_decoder_params(jax.random.PRNGKey(0), dcfg)
+    # Bench against a decoder FITTED to a real shape: a random-init decoder
+    # is not a distance field (rays never converge -> degenerate all-rays-
+    # march-max-steps workload). Fit once, cache next to the repo.
+    from dist_renderer_tpu.models.analytic import round_union, sphere_sdf, torus_sdf
+    from dist_renderer_tpu.models.pretrain import get_or_fit_cached
+
+    shape = round_union(torus_sdf(0.55, 0.18), sphere_sdf(0.35, (0.0, 0.25, 0.0)), 0.08)
+    target = lambda p: shape(None, p)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_decoder.npz")
+    params, bench_latent = get_or_fit_cached(cache, target, dcfg, steps=1500)
+    fast = not args.naive
     cfg = RenderConfig(
         img_h=img, img_w=img,
-        march=MarchConfig(max_steps=args.steps),
-        compute_dtype="bfloat16",
+        march=MarchConfig(
+            max_steps=args.steps,
+            coarse_to_fine=fast,
+            use_compaction=fast,
+        ),
+        grad=GradConfig(mode="ift" if fast else "last_step"),
+        compute_dtype="bfloat16" if fast else "float32",
     )
-    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg, cfg.dtype)
+    # differentiable path: exact fp32; hot loop: latent-folded bf16
+    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+    factory = (lambda z: make_point_fn(params, z, dcfg, cfg.dtype)) if fast else None
 
     cam = Camera.looking_at((0.0, 0.0, -2.5), focal=img * 1.2, img_hw=(img, img))
     origins, dirs = pixel_rays(cam, img, img)
@@ -55,23 +85,26 @@ def main():
 
     @jax.jit
     def fwd(latent):
-        out = render_rays(sdf_fn, latent, origins, dirs, cfg)
+        out = render(sdf_fn, latent, cam, cfg, factory)
         return out.depth, out.min_sdf
 
-    target = jnp.full((n_rays,), 1.5)
-    mask = jnp.ones((n_rays,), bool)
+    target = jnp.full((img, img), 1.5)
+    mask = jnp.ones((img, img), bool)
 
     @jax.jit
     def fwdbwd(latent):
         def loss(z):
-            out = render_rays(sdf_fn, z, origins, dirs, cfg)
+            out = render(sdf_fn, z, cam, cfg, factory)
             return masked_l1(out.depth, target, mask)
 
         l, g = jax.value_and_grad(loss)(latent)
         return l, g
 
+    # jitter the fitted latent slightly per frame (defeats caching without
+    # leaving the shape's basin)
     latents = [
-        jax.random.normal(jax.random.PRNGKey(i), (dcfg.latent_size,)) * 0.1
+        bench_latent
+        + 0.001 * jax.random.normal(jax.random.PRNGKey(i), (dcfg.latent_size,))
         for i in range(args.frames)
     ]
 

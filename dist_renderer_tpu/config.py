@@ -69,12 +69,16 @@ class MarchConfig:
     max_steps: int = 50
     alpha: float = 1.5              # aggressive marching gain (paper §3.3)
     convergence_eps: float = 5e-5   # |sdf| < eps => surface hit (normalized units)
+    depth_eps: float = 1e-5         # secant bracket width => converged (robust
+                                    # criterion for learned/noisy SDFs)
     sphere_radius: float = 1.0      # DeepSDF shapes normalized into unit sphere
     far_margin: float = 0.05        # march past sphere exit by this before "miss"
-    use_compaction: bool = True     # periodic fixed-shape live-ray compaction
-    compact_every: int = 8          # steps between compactions
+    use_compaction: bool = False    # fixed-shape live-ray compaction buckets
+    bucket_frac: int = 4            # bucket capacity = n_rays / bucket_frac
+    inner_steps: int = 16           # march steps per compaction round
     coarse_to_fine: bool = False    # staged-resolution marching (perf layer)
-    c2f_levels: int = 3             # 1/4 -> 1/2 -> full resolution
+    c2f_strides: Tuple[int, ...] = (4, 2)  # coarse levels (then full res)
+    c2f_backoff: float = 0.05       # step back from upsampled coarse depth
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,6 +105,13 @@ class RenderConfig:
     @property
     def dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    def c2f_strides_valid(self) -> Tuple[int, ...]:
+        """Coarse-to-fine strides that evenly divide this image size."""
+        return tuple(
+            s for s in self.march.c2f_strides
+            if s > 1 and self.img_h % s == 0 and self.img_w % s == 0
+        )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,9 +28,60 @@ import jax.numpy as jnp
 from dist_renderer_tpu.config import DecoderConfig, RenderConfig
 from dist_renderer_tpu.models.decoder import decoder_apply
 from dist_renderer_tpu.ops.camera import Camera, pixel_rays
-from dist_renderer_tpu.ops.tracer import TraceResult, sphere_trace
+from dist_renderer_tpu.ops.tracer import (
+    TraceResult,
+    sphere_trace,
+    sphere_trace_compact,
+)
 
 _sg = jax.lax.stop_gradient
+
+
+def _trace(march_fn, origins, dirs, cfg: RenderConfig, init_depth=None):
+    """Dispatch to the masked or compaction tracer per config."""
+    if cfg.march.use_compaction:
+        return sphere_trace_compact(
+            march_fn, origins, dirs, cfg.march, init_depth,
+            bucket_frac=cfg.march.bucket_frac,
+            inner_steps=cfg.march.inner_steps,
+        )
+    return sphere_trace(march_fn, origins, dirs, cfg.march, init_depth)
+
+
+def c2f_seed_depth(march_fn, origins, dirs, cfg: RenderConfig) -> jax.Array:
+    """Coarse-to-fine seeding (SURVEY.md §3.1 'coarse-to-fine' / §7 hard
+    part 5, rebuilt with static shapes): march strided sub-grids of the
+    pixel lattice, then seed the next level with the 3x3-neighborhood MIN
+    of the coarse depth minus a backoff — conservative near silhouette
+    edges (a fine ray never starts beyond its true surface). Pixels with
+    no hitting coarse neighbor get NaN (= unseeded, full march).
+
+    Entirely non-differentiable; runs under stop_gradient by construction
+    since only the seed positions feed the final trace."""
+    h_full, w_full = cfg.img_h, cfg.img_w
+    o_g = origins.reshape(h_full, w_full, 3)
+    v_g = dirs.reshape(h_full, w_full, 3)
+    seed_full = None  # [H, W] or None
+
+    for stride in cfg.c2f_strides_valid():
+        h, w = h_full // stride, w_full // stride
+        o_l = o_g[::stride, ::stride].reshape(-1, 3)
+        v_l = v_g[::stride, ::stride].reshape(-1, 3)
+        init = None
+        if seed_full is not None:
+            init = seed_full[::stride, ::stride].reshape(-1)
+        res = _trace(march_fn, o_l, v_l, cfg, init)
+        depth_grid = jnp.where(res.hit, res.depth, jnp.inf).reshape(h, w)
+        # min over 3x3 neighborhood -> conservative seed
+        dmin = jax.lax.reduce_window(
+            depth_grid, jnp.inf, jax.lax.min,
+            (3, 3), (1, 1), "SAME",
+        )
+        up = jnp.repeat(jnp.repeat(dmin, stride, axis=0), stride, axis=1)
+        seed_full = jnp.where(
+            jnp.isfinite(up), up - cfg.march.c2f_backoff, jnp.nan
+        )
+    return seed_full.reshape(-1)
 
 
 class RenderOutput(NamedTuple):
@@ -55,10 +106,19 @@ def render_rays(
     origins: jax.Array,
     dirs: jax.Array,
     cfg: RenderConfig,
+    march_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    init_depth: Optional[jax.Array] = None,
 ) -> RenderOutput:
-    """Trace + differentiable composition for a flat ray batch [N, 3]."""
-    march_fn = lambda p: sdf_fn(_sg(latent), p)
-    trace = sphere_trace(march_fn, _sg(origins), _sg(dirs), cfg.march)
+    """Trace + differentiable composition for a flat ray batch [N, 3].
+
+    march_fn: optional fast point function for the non-differentiable hot
+    loop (e.g. the latent-folded bf16 decoder, models/folded.py). The
+    differentiable recompute always goes through `sdf_fn` in fp32, so a
+    low-precision march costs no gradient accuracy — the IFT/last-step
+    eval re-anchors the depth on the fp32 surface."""
+    if march_fn is None:
+        march_fn = lambda p: sdf_fn(_sg(latent), p)
+    trace = _trace(march_fn, _sg(origins), _sg(dirs), cfg, init_depth)
     trace = jax.tree_util.tree_map(_sg, trace)
 
     d0 = trace.depth
@@ -105,19 +165,32 @@ def render_rays(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def render(
     sdf_fn: Callable[[jax.Array, jax.Array], jax.Array],
     latent: jax.Array,
     camera: Camera,
     cfg: RenderConfig = RenderConfig(),
+    march_fn_factory: Optional[Callable] = None,
 ) -> RenderOutput:
     """Full-frame render: camera -> [H, W] maps.
 
     Mirrors the reference's ``SDFRenderer.render(latent, R, T)`` surface
-    (depth + normal + silhouette in one pass)."""
+    (depth + normal + silhouette in one pass).
+
+    march_fn_factory: optional (latent,) -> point_fn builder for the hot
+    loop (latent-folded / Pallas decoder)."""
     origins, dirs = pixel_rays(camera, cfg.img_h, cfg.img_w)
-    out = render_rays(sdf_fn, latent, origins, dirs, cfg)
+    march_fn = None
+    if march_fn_factory is not None:
+        march_fn = march_fn_factory(_sg(latent))
+    seed = None
+    if cfg.march.coarse_to_fine and cfg.c2f_strides_valid():
+        mf = march_fn or (lambda p: sdf_fn(_sg(latent), p))
+        seed = _sg(c2f_seed_depth(mf, _sg(origins), _sg(dirs), cfg))
+    out = render_rays(
+        sdf_fn, latent, origins, dirs, cfg, march_fn=march_fn, init_depth=seed
+    )
     hw = (cfg.img_h, cfg.img_w)
     return RenderOutput(
         depth=out.depth.reshape(hw),
@@ -127,6 +200,51 @@ def render(
         points=out.points.reshape(hw + (3,)),
         trace=out.trace,
     )
+
+
+def render_color_rays(
+    sdf_fn: Callable,
+    color_fn: Callable,
+    latent: jax.Array,
+    latent_color: jax.Array,
+    origins: jax.Array,
+    dirs: jax.Array,
+    cfg: RenderConfig,
+    march_fn: Optional[Callable] = None,
+    init_depth: Optional[jax.Array] = None,
+) -> Tuple[RenderOutput, jax.Array]:
+    """Textured render: trace + evaluate the color decoder at surface
+    points (rebuild of SDFRenderer_color.render_color,
+    core/sdfrenderer/renderer_color.py — SURVEY.md §3.1 'color variant').
+
+    Differentiable w.r.t. both latents and pose: the surface points carry
+    the depth gradient, so photometric losses reach the geometry."""
+    out = render_rays(sdf_fn, latent, origins, dirs, cfg, march_fn, init_depth)
+    rgb = color_fn(latent_color, out.points)
+    rgb = jnp.where(out.mask[:, None], rgb, 0.0)
+    return out, rgb
+
+
+class SDFRendererColor:
+    """OO wrapper mirroring the reference's ``SDFRenderer_color``."""
+
+    def __init__(self, sdf_renderer: "SDFRenderer", color_fn: Callable):
+        self.base = sdf_renderer
+        self.color_fn = color_fn
+
+    def render_color(self, latent, latent_color, R, T):
+        cam = self.base._camera(R, T)
+        cfg = self.base.cfg
+        origins, dirs = pixel_rays(cam, cfg.img_h, cfg.img_w)
+        march_fn = None
+        if self.base.march_fn_factory is not None:
+            march_fn = self.base.march_fn_factory(_sg(latent))
+        out, rgb = render_color_rays(
+            self.base.sdf_fn, self.color_fn, latent, latent_color,
+            origins, dirs, cfg, march_fn,
+        )
+        hw = (cfg.img_h, cfg.img_w)
+        return out, rgb.reshape(hw + (3,))
 
 
 class SDFRenderer:
@@ -149,18 +267,26 @@ class SDFRenderer:
         self.K = jnp.asarray(intrinsic, jnp.float32)
         base = cfg or RenderConfig()
         self.cfg = dataclasses.replace(base, img_h=img_hw[0], img_w=img_hw[1])
+        self.march_fn_factory = None
         if sdf_fn is None:
+            from dist_renderer_tpu.models.folded import make_point_fn
+
             params = decoder_params
             dcfg = decoder_cfg
             dtype = self.cfg.dtype
-            sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg, dtype)
+            # differentiable path: exact fp32 decoder; hot loop: folded
+            sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+            self.march_fn_factory = lambda z: make_point_fn(params, z, dcfg, dtype)
         self.sdf_fn = sdf_fn
 
     def _camera(self, R, T) -> Camera:
         return Camera(K=self.K, R=jnp.asarray(R, jnp.float32), T=jnp.asarray(T, jnp.float32))
 
     def render(self, latent, R, T) -> RenderOutput:
-        return render(self.sdf_fn, latent, self._camera(R, T), self.cfg)
+        return render(
+            self.sdf_fn, latent, self._camera(R, T), self.cfg,
+            self.march_fn_factory,
+        )
 
     def render_depth(self, latent, R, T) -> jax.Array:
         return self.render(latent, R, T).depth

@@ -1,0 +1,93 @@
+"""Task (e): batched category-scale rendering — many latents x many views
+(BASELINE.json config #5, the throughput stretch: 1k latents x 16 views at
+512^2). Latent/view axes shard over the device mesh; each frame's rays can
+additionally shard over a "rays" axis (SURVEY.md §2 parallelism table).
+
+On one chip this streams (latent, view) pairs through the fast render
+path; on a mesh it uses parallel.sharding.
+
+  python -m dist_renderer_tpu.tasks.batched_render --latents 16 --views 4 --img 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from dist_renderer_tpu.models.decoder import decoder_apply
+from dist_renderer_tpu.models.folded import make_point_fn
+from dist_renderer_tpu.ops.camera import pixel_rays
+from dist_renderer_tpu.ops.renderer import render_rays
+from dist_renderer_tpu.tasks.common import (
+    add_common_args, load_task_decoder, make_render_cfg, ring_cameras,
+)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_common_args(ap)
+    ap.add_argument("--latents", type=int, default=16)
+    ap.add_argument("--views", type=int, default=4)
+    ap.add_argument("--latent-noise", type=float, default=0.05)
+    args = ap.parse_args(argv)
+
+    params, base_latent, dcfg = load_task_decoder(args)
+    cfg = make_render_cfg(args)
+    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+
+    cams = ring_cameras(args.img, args.views)
+    rays = [pixel_rays(c, args.img, args.img) for c in cams]
+    origins = jnp.stack([r[0] for r in rays])
+    dirs = jnp.stack([r[1] for r in rays])
+
+    latents = base_latent[None, :] + args.latent_noise * jax.random.normal(
+        jax.random.PRNGKey(0), (args.latents, base_latent.shape[0])
+    )
+
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.latents % n_dev == 0:
+        # shard latents across the mesh (pure DP — no collectives)
+        from dist_renderer_tpu.parallel.mesh import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(("latents",))
+        latents = jax.device_put(latents, NamedSharding(mesh, P("latents")))
+
+    @jax.jit
+    def render_batch(latents):
+        def one_latent(z):
+            mf = make_point_fn(params, z, dcfg, cfg.dtype)
+
+            def one_view(o, v):
+                out = render_rays(sdf_fn, z, o, v, cfg, mf)
+                return out.depth, out.mask
+
+            return jax.vmap(one_view)(origins, dirs)
+
+        return jax.vmap(one_latent)(latents)
+
+    depth, mask = jax.tree_util.tree_map(
+        jax.block_until_ready, render_batch(latents)
+    )
+    t0 = time.perf_counter()
+    depth, mask = render_batch(latents)
+    jax.block_until_ready(depth)
+    dt = time.perf_counter() - t0
+
+    n_rays = args.latents * args.views * args.img * args.img
+    mrays = n_rays / dt / 1e6
+    print(json.dumps({
+        "latents": args.latents, "views": args.views, "img": args.img,
+        "total_rays": n_rays, "seconds": round(dt, 3),
+        "Mrays_per_s": round(mrays, 2), "devices": n_dev,
+    }))
+    return mrays
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Task (b): single-depth shape completion — optimize a latent code so the
+render matches one observed (partial) depth map (BASELINE.json config #2;
+SURVEY.md §3.3 call stack).
+
+With no dataset available the observation is synthesized by rendering a
+GROUND-TRUTH latent/shape, optionally masked to a partial view; the task
+then recovers shape from scratch exactly like the reference demo.
+
+  python -m dist_renderer_tpu.tasks.depth_completion --img 128 --steps 150
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from dist_renderer_tpu.config import LossConfig, OptimConfig
+from dist_renderer_tpu.models.decoder import decoder_apply
+from dist_renderer_tpu.models.folded import make_point_fn
+from dist_renderer_tpu.ops.renderer import render
+from dist_renderer_tpu.tasks.common import (
+    add_common_args, default_camera, load_task_decoder, make_render_cfg,
+)
+from dist_renderer_tpu.utils import losses as L
+from dist_renderer_tpu.utils.optim import fit
+from dist_renderer_tpu.utils.viz import MetricsLogger, save_render_panel
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_common_args(ap)
+    ap.add_argument("--partial", type=float, default=0.5,
+                    help="fraction of image columns observed (partial depth)")
+    ap.add_argument("--w-depth", type=float, default=10.0)
+    ap.add_argument("--w-sil", type=float, default=1.0)
+    ap.add_argument("--w-reg", type=float, default=1e-4)
+    ap.add_argument("--vis-every", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    params, gt_latent, dcfg = load_task_decoder(args)
+    cfg = make_render_cfg(args)
+    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+    factory = lambda z: make_point_fn(params, z, dcfg, cfg.dtype)
+    cam = default_camera(args.img)
+
+    # synthesize the observation from the GT latent; mask to a partial strip
+    gt = render(sdf_fn, gt_latent, cam, cfg, factory)
+    w_obs = int(args.img * args.partial)
+    col_mask = jnp.arange(args.img) < w_obs
+    obs_valid = gt.mask & col_mask[None, :]
+    obs_depth = jnp.where(obs_valid, gt.depth, 0.0)
+    obs_mask = gt.mask & col_mask[None, :]  # silhouette supervision only where seen
+
+    os.makedirs(args.out, exist_ok=True)
+    logger = MetricsLogger(os.path.join(args.out, "metrics.csv"))
+
+    def loss_fn(z):
+        out = render(sdf_fn, z, cam, cfg, factory)
+        ld = L.depth_loss(out.depth, obs_depth, obs_valid, out.mask)
+        ls = L.silhouette_loss(
+            jnp.where(col_mask[None, :], out.min_sdf, 0.0), obs_mask
+        )
+        lr_ = L.latent_reg(z)
+        total = args.w_depth * ld + args.w_sil * ls + args.w_reg * lr_
+        return total, {"depth": ld, "sil": ls, "reg": lr_}
+
+    z0 = jnp.zeros_like(gt_latent)  # cold start (mean latent)
+
+    def cb(step, z, loss):
+        logger.log(step, loss=loss)
+        if args.vis_every and step % args.vis_every == 0:
+            out = render(sdf_fn, z, cam, cfg, factory)
+            save_render_panel(
+                os.path.join(args.out, f"iter{step:05d}.png"), out, obs_depth
+            )
+
+    res = fit(
+        loss_fn, z0,
+        OptimConfig(lr=args.lr, steps=args.steps),
+        checkpoint_dir=args.checkpoint_dir,
+        log_every=max(args.steps // 10, 1),
+        callback=cb,
+    )
+
+    out = render(sdf_fn, res.variables, cam, cfg, factory)
+    save_render_panel(os.path.join(args.out, "final.png"), out, obs_depth)
+    # quality: full-image depth error vs the (hidden) complete GT
+    err = float(L.depth_loss(out.depth, gt.depth, gt.mask, out.mask))
+    lat_err = float(jnp.linalg.norm(res.variables - gt_latent))
+    print(f"final: loss {float(res.loss_history[-1]):.5f}  "
+          f"full-depth L1 {err:.5f}  |z - z_gt| {lat_err:.4f}")
+    logger.close()
+    return res
+
+
+if __name__ == "__main__":
+    main()

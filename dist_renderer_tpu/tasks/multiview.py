@@ -1,0 +1,116 @@
+"""Task (c): multi-view reconstruction — silhouette + photometric
+consistency over a ring of views, gradients accumulate on one shared
+latent (BASELINE.json config #3; SURVEY.md §3.4).
+
+Views are vmapped on-chip; with multiple devices the view axis shards via
+the parallel layer instead (SURVEY.md §2 parallelism table, 'view
+parallel').
+
+  python -m dist_renderer_tpu.tasks.multiview --img 128 --views 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from dist_renderer_tpu.config import OptimConfig
+from dist_renderer_tpu.models.color_decoder import (
+    color_apply, init_color_params, make_color_config,
+)
+from dist_renderer_tpu.models.decoder import decoder_apply
+from dist_renderer_tpu.models.folded import make_point_fn
+from dist_renderer_tpu.ops.camera import Camera, pixel_rays
+from dist_renderer_tpu.ops.renderer import render_rays
+from dist_renderer_tpu.tasks.common import (
+    add_common_args, load_task_decoder, make_render_cfg, ring_cameras,
+)
+from dist_renderer_tpu.utils import losses as L
+from dist_renderer_tpu.utils.optim import fit
+from dist_renderer_tpu.utils.viz import MetricsLogger, colorize_depth, panel, save_image
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_common_args(ap)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--w-sil", type=float, default=1.0)
+    ap.add_argument("--w-photo", type=float, default=1.0)
+    ap.add_argument("--w-reg", type=float, default=1e-4)
+    args = ap.parse_args(argv)
+
+    params, gt_latent, dcfg = load_task_decoder(args)
+    cfg = make_render_cfg(args)
+    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+    factory = lambda z: make_point_fn(params, z, dcfg, cfg.dtype)
+
+    cams = ring_cameras(args.img, args.views)
+    cam_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+    rays = [pixel_rays(c, args.img, args.img) for c in cams]
+    origins = jnp.stack([r[0] for r in rays])  # [V, N, 3]
+    dirs = jnp.stack([r[1] for r in rays])
+
+    # synthesize observations: GT masks + GT images (textured via a fixed
+    # random color decoder so photometric consistency has signal)
+    ccfg = make_color_config(latent_size=dcfg.latent_size,
+                             hidden_dims=(64,) * 4, latent_in=())
+    cparams = init_color_params(jax.random.PRNGKey(7), ccfg)
+    color_fn = lambda zc, p: color_apply(cparams, zc, p, ccfg)
+    z_color = jnp.zeros((dcfg.latent_size,))
+
+    def render_view(z, o, v):
+        return render_rays(sdf_fn, z, o, v, cfg, factory(z))
+
+    gt_out = jax.vmap(lambda o, v: render_view(gt_latent, o, v))(origins, dirs)
+    gt_imgs = jax.vmap(lambda pts, m: jnp.where(
+        m[:, None], color_fn(z_color, pts), 0.0
+    ))(gt_out.points, gt_out.mask)  # [V, N, 3]
+    obs_masks = gt_out.mask  # [V, N]
+
+    hw = (args.img, args.img)
+    os.makedirs(args.out, exist_ok=True)
+    logger = MetricsLogger(os.path.join(args.out, "metrics.csv"))
+
+    def loss_fn(z):
+        out = jax.vmap(lambda o, v: render_view(z, o, v))(origins, dirs)
+        ls = jax.vmap(L.silhouette_loss)(out.min_sdf, obs_masks).mean()
+
+        # photometric: project view i's surface points into view (i+1)%V
+        def photo(i):
+            j = (i + 1) % args.views
+            cam_i = jax.tree_util.tree_map(lambda x: x[i], cam_stack)
+            cam_j = jax.tree_util.tree_map(lambda x: x[j], cam_stack)
+            return L.photometric_loss(
+                out.points[i], out.mask[i],
+                gt_imgs[i].reshape(hw + (3,)), cam_i,
+                gt_imgs[j].reshape(hw + (3,)), cam_j,
+            )
+
+        lp = jnp.mean(jnp.stack([photo(i) for i in range(args.views)]))
+        lr_ = L.latent_reg(z)
+        total = args.w_sil * ls + args.w_photo * lp + args.w_reg * lr_
+        return total, {"sil": ls, "photo": lp}
+
+    res = fit(
+        loss_fn, jnp.zeros_like(gt_latent),
+        OptimConfig(lr=args.lr, steps=args.steps),
+        checkpoint_dir=args.checkpoint_dir,
+        log_every=max(args.steps // 10, 1),
+        callback=lambda s, z, l: logger.log(s, loss=l),
+    )
+
+    out = jax.vmap(lambda o, v: render_view(res.variables, o, v))(origins, dirs)
+    imgs = [colorize_depth(out.depth[i].reshape(hw), out.mask[i].reshape(hw))
+            for i in range(min(args.views, 4))]
+    save_image(os.path.join(args.out, "final_views.png"), panel(imgs))
+    lat_err = float(jnp.linalg.norm(res.variables - gt_latent))
+    print(f"final: loss {float(res.loss_history[-1]):.5f}  |z - z_gt| {lat_err:.4f}")
+    logger.close()
+    return res
+
+
+if __name__ == "__main__":
+    main()

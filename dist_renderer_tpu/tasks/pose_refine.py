@@ -1,0 +1,110 @@
+"""Task (d): camera pose estimation by render-and-compare — decoder and
+latent frozen, extrinsics promoted to optimization variables via a
+continuous rotation parameterization (BASELINE.json config #4; SURVEY.md
+§3.5). Gradients reach the pose through ray origins/directions inside the
+last-step decoder eval — the config that stresses gradient correctness
+through camera geometry (SURVEY.md §7 hard part 3).
+
+  python -m dist_renderer_tpu.tasks.pose_refine --img 128 --steps 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dist_renderer_tpu.config import OptimConfig
+from dist_renderer_tpu.models.decoder import decoder_apply
+from dist_renderer_tpu.models.folded import make_point_fn
+from dist_renderer_tpu.ops.camera import (
+    Camera, camera_from_pose, pixel_rays, pose_from_camera, so3_exp,
+)
+from dist_renderer_tpu.ops.renderer import render_rays
+from dist_renderer_tpu.tasks.common import (
+    add_common_args, default_camera, load_task_decoder, make_render_cfg,
+)
+from dist_renderer_tpu.utils import losses as L
+from dist_renderer_tpu.utils.optim import fit
+from dist_renderer_tpu.utils.viz import MetricsLogger, save_render_panel
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_common_args(ap)
+    ap.add_argument("--param", default="so3", choices=["so3", "rot6d"])
+    ap.add_argument("--rot-err-deg", type=float, default=10.0,
+                    help="initial rotation perturbation")
+    ap.add_argument("--trans-err", type=float, default=0.1)
+    ap.add_argument("--w-depth", type=float, default=10.0)
+    ap.add_argument("--w-sil", type=float, default=1.0)
+    args = ap.parse_args(argv)
+
+    params, latent, dcfg = load_task_decoder(args)
+    cfg = make_render_cfg(args)
+    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+    march_fn = make_point_fn(params, latent, dcfg, cfg.dtype)
+
+    # ground-truth camera and observation
+    cam_gt = default_camera(args.img)
+    o, v = pixel_rays(cam_gt, args.img, args.img)
+    gt = render_rays(sdf_fn, latent, o, v, cfg, march_fn)
+    hw = (args.img, args.img)
+    obs_depth = gt.depth
+    obs_mask = gt.mask
+
+    # perturb the pose
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    axis = jax.random.normal(k1, (3,))
+    axis = axis / jnp.linalg.norm(axis)
+    dR = so3_exp(axis * jnp.radians(args.rot_err_deg))
+    R0 = dR @ cam_gt.R
+    T0 = cam_gt.T + args.trans_err * jax.random.normal(k2, (3,))
+    pose0 = pose_from_camera(Camera(K=cam_gt.K, R=R0, T=T0), args.param)
+
+    os.makedirs(args.out, exist_ok=True)
+    logger = MetricsLogger(os.path.join(args.out, "metrics.csv"))
+
+    def loss_fn(pose):
+        cam = camera_from_pose(pose, cam_gt.K, args.param)
+        oo, vv = pixel_rays(cam, args.img, args.img)
+        out = render_rays(sdf_fn, latent, oo, vv, cfg, march_fn)
+        ld = L.depth_loss(out.depth, obs_depth, obs_mask, out.mask)
+        ls = L.silhouette_loss(out.min_sdf, obs_mask)
+        total = args.w_depth * ld + args.w_sil * ls
+        return total, {"depth": ld, "sil": ls}
+
+    res = fit(
+        loss_fn, pose0,
+        OptimConfig(lr=args.lr, steps=args.steps),
+        checkpoint_dir=args.checkpoint_dir,
+        log_every=max(args.steps // 10, 1),
+        callback=lambda s, p, l: logger.log(s, loss=l),
+    )
+
+    cam_f = camera_from_pose(res.variables, cam_gt.K, args.param)
+    rot_err = np.degrees(
+        np.arccos(np.clip((np.trace(np.asarray(cam_f.R.T @ cam_gt.R)) - 1) / 2, -1, 1))
+    )
+    t_err = float(jnp.linalg.norm(cam_f.T - cam_gt.T))
+    oo, vv = pixel_rays(cam_f, args.img, args.img)
+    out = render_rays(sdf_fn, latent, oo, vv, cfg, march_fn)
+
+    class _V:  # reshape for the panel helper
+        depth = out.depth.reshape(hw); mask = out.mask.reshape(hw)
+        normal = out.normal.reshape(hw + (3,)); min_sdf = out.min_sdf.reshape(hw)
+
+    save_render_panel(os.path.join(args.out, "final.png"), _V, obs_depth.reshape(hw))
+    print(f"final: loss {float(res.loss_history[-1]):.5f}  "
+          f"rot err {rot_err:.3f} deg (init {args.rot_err_deg})  "
+          f"trans err {t_err:.4f} (init ~{args.trans_err})")
+    logger.close()
+    return res, rot_err, t_err
+
+
+if __name__ == "__main__":
+    main()
