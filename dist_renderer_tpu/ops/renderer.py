@@ -38,7 +38,9 @@ _sg = jax.lax.stop_gradient
 
 
 def _trace(march_fn, origins, dirs, cfg: RenderConfig, init_depth=None):
-    """Dispatch to the masked or compaction tracer per config."""
+    """Dispatch: fused Pallas kernel > compaction > masked tracer."""
+    if cfg.use_pallas and hasattr(march_fn, "trace"):
+        return march_fn.trace(origins, dirs, cfg.march, init_depth)
     if cfg.march.use_compaction:
         return sphere_trace_compact(
             march_fn, origins, dirs, cfg.march, init_depth,
@@ -123,9 +125,10 @@ def render_rays(
 
     d0 = trace.depth
     p_surf = origins + d0[:, None] * dirs          # origins/dirs stay live (pose grads)
-    s = sdf_fn(latent, p_surf)                     # THE differentiable eval
-
-    g = _spatial_grad(sdf_fn, latent, p_surf)
+    # ONE decoder fwd + ONE vjp gives both the differentiable surface value
+    # and its spatial gradient (normals + IFT denominator)
+    s, pullback = jax.vjp(lambda p: sdf_fn(latent, p), p_surf)
+    (g,) = pullback(jnp.ones_like(s))
     if cfg.grad.mode == "ift":
         # f(z, o + d(z,o,v) v) == 0  =>  dd = -df / (grad_x f . v)
         denom = jnp.sum(_sg(g) * _sg(dirs), axis=-1)
@@ -202,6 +205,25 @@ def render(
     )
 
 
+def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
+    """Build the (latent,) -> march point-fn factory for the hot loop:
+    latent-folded bf16/fp32 decoder, wrapped for the fused Pallas kernel
+    when cfg.use_pallas."""
+    from dist_renderer_tpu.models.folded import fold_latent, make_point_fn
+
+    dtype = cfg.dtype
+
+    def factory(z):
+        point_fn = make_point_fn(params, z, dcfg, dtype)
+        if cfg.use_pallas:
+            from dist_renderer_tpu.ops.pallas.fused_march import PallasMarchFn
+
+            return PallasMarchFn(fold_latent(params, z, dcfg), dcfg, point_fn)
+        return point_fn
+
+    return factory
+
+
 def render_color_rays(
     sdf_fn: Callable,
     color_fn: Callable,
@@ -269,14 +291,12 @@ class SDFRenderer:
         self.cfg = dataclasses.replace(base, img_h=img_hw[0], img_w=img_hw[1])
         self.march_fn_factory = None
         if sdf_fn is None:
-            from dist_renderer_tpu.models.folded import make_point_fn
-
             params = decoder_params
             dcfg = decoder_cfg
             dtype = self.cfg.dtype
             # differentiable path: exact fp32 decoder; hot loop: folded
             sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
-            self.march_fn_factory = lambda z: make_point_fn(params, z, dcfg, dtype)
+            self.march_fn_factory = make_march_factory(params, dcfg, self.cfg)
         self.sdf_fn = sdf_fn
 
     def _camera(self, R, T) -> Camera:
