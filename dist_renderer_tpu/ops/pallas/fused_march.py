@@ -137,27 +137,35 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int):
         d = rays[6:7, :]
         near = rays[7:8, :]
         far = rays[8:9, :]
-        act = rays[9:10, :] > 0.5
+        act0 = rays[9:10, :]                       # 1.0 / 0.0
 
         weights = [w[:, :] for w in w_refs]
 
         B = d.shape[1]
         f32 = jnp.float32
         zeros = jnp.zeros((1, B), f32)
-        d_lo = jnp.full((1, B), _NEG_BIG, f32)
-        f_lo = jnp.full((1, B), _POS_BIG, f32)
-        d_hi = jnp.full((1, B), _POS_BIG, f32)
-        f_hi = jnp.full((1, B), _NEG_BIG, f32)
-        min_sdf = jnp.full((1, B), _POS_BIG, f32)
-        d_at_min = d
-        last_f = jnp.full((1, B), _POS_BIG, f32)
-        steps = zeros
-        hit = jnp.zeros((1, B), jnp.bool_)
-
-        carry0 = (d, act, hit, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min, last_f, steps)
+        # NOTE: every carried value is fp32 — Mosaic fails to legalize i1
+        # vectors in the scf.for carry (observed: roll_vectors on
+        # vector<1x512xi1>). Flags travel as 0.0/1.0 and are re-derived as
+        # bools locally each step.
+        carry0 = (
+            d,                                   # d
+            act0,                                # active flag
+            zeros,                               # hit flag
+            jnp.full((1, B), _NEG_BIG, f32),     # d_lo
+            jnp.full((1, B), _POS_BIG, f32),     # f_lo
+            jnp.full((1, B), _POS_BIG, f32),     # d_hi
+            jnp.full((1, B), _NEG_BIG, f32),     # f_hi
+            jnp.full((1, B), _POS_BIG, f32),     # min_sdf
+            d,                                   # d_at_min
+            jnp.full((1, B), _POS_BIG, f32),     # last_f
+            zeros,                               # steps
+        )
 
         def march_one(c):
-            (d, act, hit, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min, last_f, steps) = c
+            (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
+             last_f, steps) = c
+            act = act_f > 0.5
             p = o + d * v                          # [3, B]
             p8 = jnp.concatenate([p, jnp.zeros((5, B), f32)], axis=0)
             f = _mlp(p8.astype(jnp.bfloat16), weights, layout, final_tanh)
@@ -200,20 +208,24 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int):
                 still, d_next, jnp.where(salvaged, 0.5 * (d_lo + d_hi), d)
             )
             last_f = jnp.where(act, f, last_f)
-            return (d, still, hit | converged, d_lo, f_lo, d_hi, f_hi,
-                    min_sdf, d_at_min, last_f, steps)
+            hit_f = jnp.maximum(hit_f, jnp.where(converged, 1.0, 0.0))
+            return (d, jnp.where(still, 1.0, 0.0), hit_f, d_lo, f_lo, d_hi,
+                    f_hi, min_sdf, d_at_min, last_f, steps)
 
         def body(i, c):
-            act = c[1]
-            return jax.lax.cond(jnp.any(act), march_one, lambda c: c, c)
+            act_f = c[1]
+            return jax.lax.cond(
+                jnp.max(act_f) > 0.5, march_one, lambda c: c, c
+            )
 
         out = jax.lax.fori_loop(0, max_steps, body, carry0)
-        (d, act, hit, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min, last_f, steps) = out
+        (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
+         last_f, steps) = out
 
         res = jnp.concatenate(
             [
                 d,
-                hit.astype(f32),
+                hit_f,
                 min_sdf,
                 d_at_min,
                 last_f,

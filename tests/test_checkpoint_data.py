@@ -1,0 +1,116 @@
+"""Checkpoint round-trips (orbax + npz), DeepSDF specs.json parsing, and
+dataset layout loaders (SURVEY.md §5 'Checkpoint / resume', §2 'Datasets')."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dist_renderer_tpu.config import DecoderConfig
+from dist_renderer_tpu.models.checkpoint import read_specs, restore_state, save_state
+from dist_renderer_tpu.models.decoder import init_decoder_params
+from dist_renderer_tpu.models.pretrain import load_params_npz, save_params_npz
+
+
+def test_specs_json_roundtrip(tmp_path):
+    specs = {
+        "CodeLength": 64,
+        "ClampingDistance": 0.1,
+        "NetworkSpecs": {
+            "dims": [128] * 6,
+            "latent_in": [3],
+            "xyz_in_all": False,
+            "use_tanh": False,
+        },
+    }
+    with open(tmp_path / "specs.json", "w") as f:
+        json.dump(specs, f)
+    cfg = read_specs(str(tmp_path))
+    assert cfg.latent_size == 64
+    assert cfg.hidden_dims == (128,) * 6
+    assert cfg.latent_in == (3,)
+
+
+def test_params_npz_roundtrip(tmp_path):
+    cfg = DecoderConfig(hidden_dims=(16,) * 3, latent_size=4, latent_in=())
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    z = jnp.arange(4.0)
+    path = str(tmp_path / "p.npz")
+    save_params_npz(path, params, z)
+    params2, z2 = load_params_npz(path)
+    for a, b in zip(params["layers"], params2["layers"]):
+        np.testing.assert_array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+
+
+def test_orbax_save_restore(tmp_path):
+    state = {"latent": jnp.arange(8.0), "step_count": jnp.asarray(3)}
+    path = str(tmp_path / "ckpt")
+    save_state(path, state, step=10)
+    template = {"latent": jnp.zeros(8), "step_count": jnp.asarray(0)}
+    restored, step = restore_state(path, template)
+    assert step == 10
+    np.testing.assert_allclose(
+        np.asarray(restored["latent"]), np.arange(8.0)
+    )
+
+
+def test_orbax_restore_empty_returns_template(tmp_path):
+    template = {"x": jnp.ones(3)}
+    restored, step = restore_state(str(tmp_path / "none"), template)
+    assert step == 0
+    np.testing.assert_array_equal(np.asarray(restored["x"]), np.ones(3))
+
+
+def test_shapenet_depth_layout(tmp_path):
+    from dist_renderer_tpu.data.datasets import ShapeNetDepthDataset
+
+    inst = tmp_path / "chair001"
+    inst.mkdir()
+    np.save(inst / "depth.npy", np.full((8, 8), 1.5, np.float32))
+    np.save(inst / "mask.npy", np.ones((8, 8), bool))
+    with open(inst / "camera.json", "w") as f:
+        json.dump({
+            "K": np.eye(3).tolist(),
+            "R": np.eye(3).tolist(),
+            "T": [0.0, 0.0, 2.0],
+        }, f)
+    ds = ShapeNetDepthDataset(str(tmp_path))
+    assert len(ds) == 1
+    obs = ds[0]
+    assert obs.depth.shape == (8, 8)
+    assert obs.valid.all()
+    assert obs.name == "chair001"
+
+
+def test_synthetic_dataset_observations():
+    from dist_renderer_tpu.config import MarchConfig, RenderConfig
+    from dist_renderer_tpu.data.datasets import SyntheticShapeDataset
+    from dist_renderer_tpu.models.analytic import latent_sphere_sdf
+
+    ds = SyntheticShapeDataset(
+        latent_sphere_sdf(),
+        latents=np.array([[0.4], [0.5]]),
+        img=16, n_views=4,
+        render_cfg=RenderConfig(img_h=16, img_w=16, march=MarchConfig(max_steps=32)),
+    )
+    obs = ds.depth_observation(0)
+    assert obs.depth.shape == (16, 16)
+    assert obs.mask.sum() > 0
+    mv = ds.multiview_observation(1)
+    assert mv.images.shape == (4, 16, 16, 3)
+    assert mv.masks.shape == (4, 16, 16)
+    assert len(mv.cameras) == 4
+
+
+def test_missing_dataset_root_raises():
+    from dist_renderer_tpu.data.datasets import PMOMultiViewDataset, ShapeNetDepthDataset
+
+    with pytest.raises(FileNotFoundError):
+        ShapeNetDepthDataset("/nonexistent/root")
+    with pytest.raises(FileNotFoundError):
+        PMOMultiViewDataset("/nonexistent/root")
