@@ -259,6 +259,7 @@ def pallas_sphere_trace(
     init_depth: Optional[jax.Array] = None,
     block: int = 512,
     interpret: bool = False,
+    init_active: Optional[jax.Array] = None,
 ) -> TraceResult:
     """Full sphere trace as one fused Pallas kernel. Drop-in for
     ops.tracer.sphere_trace (same TraceResult semantics; live_counts
@@ -273,6 +274,7 @@ def pallas_sphere_trace(
     if init_depth is not None:
         seeded = jnp.isfinite(init_depth) & enters
         d0 = jnp.where(seeded, jnp.maximum(init_depth, t_near), d0)
+    active0 = enters if init_active is None else (enters & init_active)
 
     rays = jnp.zeros((16, n_pad), jnp.float32)
     rays = rays.at[0:3, :n].set(origins.T)
@@ -280,7 +282,7 @@ def pallas_sphere_trace(
     rays = rays.at[6, :n].set(d0)
     rays = rays.at[7, :n].set(t_near)
     rays = rays.at[8, :n].set(far_bound)
-    rays = rays.at[9, :n].set(enters.astype(jnp.float32))
+    rays = rays.at[9, :n].set(active0.astype(jnp.float32))
 
     layout = _layer_layout(packed)
     weights = []
@@ -349,8 +351,9 @@ class PallasMarchFn:
     def __call__(self, p):
         return self.point_fn(p)
 
-    def trace(self, origins, dirs, march, init_depth=None, interpret=False):
+    def trace(self, origins, dirs, march, init_depth=None, init_active=None,
+              interpret=False):
         return pallas_sphere_trace(
             self.packed, origins, dirs, march, init_depth,
-            block=self.block, interpret=interpret,
+            block=self.block, interpret=interpret, init_active=init_active,
         )

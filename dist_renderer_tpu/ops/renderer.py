@@ -37,33 +37,61 @@ from dist_renderer_tpu.ops.tracer import (
 _sg = jax.lax.stop_gradient
 
 
-def _trace(march_fn, origins, dirs, cfg: RenderConfig, init_depth=None):
+def _trace(march_fn, origins, dirs, cfg: RenderConfig, init_depth=None,
+           init_active=None):
     """Dispatch: fused Pallas kernel > compaction > masked tracer."""
     if cfg.use_pallas and hasattr(march_fn, "trace"):
-        return march_fn.trace(origins, dirs, cfg.march, init_depth)
+        return march_fn.trace(origins, dirs, cfg.march, init_depth, init_active)
     if cfg.march.use_compaction:
         return sphere_trace_compact(
             march_fn, origins, dirs, cfg.march, init_depth,
             bucket_frac=cfg.march.bucket_frac,
             inner_steps=cfg.march.inner_steps,
+            init_active=init_active,
         )
-    return sphere_trace(march_fn, origins, dirs, cfg.march, init_depth)
+    return sphere_trace(march_fn, origins, dirs, cfg.march, init_depth,
+                        init_active)
 
 
-def c2f_seed_depth(march_fn, origins, dirs, cfg: RenderConfig) -> jax.Array:
-    """Coarse-to-fine seeding (SURVEY.md §3.1 'coarse-to-fine' / §7 hard
-    part 5, rebuilt with static shapes): march strided sub-grids of the
-    pixel lattice, then seed the next level with the 3x3-neighborhood MIN
-    of the coarse depth minus a backoff — conservative near silhouette
-    edges (a fine ray never starts beyond its true surface). Pixels with
-    no hitting coarse neighbor get NaN (= unseeded, full march).
+class C2FPlan(NamedTuple):
+    """Per-fine-ray plan from the coarse levels (all [N], stop-gradient)."""
 
-    Entirely non-differentiable; runs under stop_gradient by construction
-    since only the seed positions feed the final trace."""
+    init_depth: jax.Array   # seed distance (NaN = start at sphere entry)
+    init_active: jax.Array  # False = skip class (whole neighborhood missed)
+    order: jax.Array        # class-sorted ray permutation (work-homogeneous
+                            # Pallas blocks); identity when classify is off
+
+
+def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
+    """Coarse-to-fine planning (SURVEY.md §3.1 'coarse-to-fine' / §7 hard
+    part 5, rebuilt with static shapes). Marches strided sub-grids of the
+    pixel lattice, then classifies every fine ray from its 3x3 coarse
+    neighborhood:
+
+      - all neighbors hit  -> INTERIOR: seed at (min neighbor depth -
+        backoff) — conservative, a fine ray never starts beyond its true
+        surface; converges in a few secant steps.
+      - no neighbor hit    -> SKIP: the fine march is skipped entirely;
+        the ray's margin anchor (depth) is set to the coarse min-SDF
+        depth so the differentiable silhouette recompute samples there.
+      - mixed              -> RIM: full march from the sphere entry (the
+        only rays that genuinely need the whole schedule).
+
+    Rays are additionally ordered rim -> interior -> skip (stable sort) so
+    fixed ray blocks are work-homogeneous: skip blocks die instantly,
+    interior blocks exit after a few steps, and only O(perimeter) rim
+    blocks run long. This is the TPU rebuild of the reference's dynamic
+    ray subdivision + active-set shrinkage, with one sort per frame
+    instead of per step.
+
+    Entirely non-differentiable (runs under stop_gradient)."""
     h_full, w_full = cfg.img_h, cfg.img_w
     o_g = origins.reshape(h_full, w_full, 3)
     v_g = dirs.reshape(h_full, w_full, 3)
-    seed_full = None  # [H, W] or None
+    seed_full = None
+    hit_any_full = None
+    hit_all_full = None
+    anchor_full = None
 
     for stride in cfg.c2f_strides_valid():
         h, w = h_full // stride, w_full // stride
@@ -74,16 +102,52 @@ def c2f_seed_depth(march_fn, origins, dirs, cfg: RenderConfig) -> jax.Array:
             init = seed_full[::stride, ::stride].reshape(-1)
         res = _trace(march_fn, o_l, v_l, cfg, init)
         depth_grid = jnp.where(res.hit, res.depth, jnp.inf).reshape(h, w)
+        hit_grid = res.hit.reshape(h, w)
         # min over 3x3 neighborhood -> conservative seed
         dmin = jax.lax.reduce_window(
-            depth_grid, jnp.inf, jax.lax.min,
-            (3, 3), (1, 1), "SAME",
+            depth_grid, jnp.inf, jax.lax.min, (3, 3), (1, 1), "SAME"
         )
-        up = jnp.repeat(jnp.repeat(dmin, stride, axis=0), stride, axis=1)
+        hit_any = jax.lax.reduce_window(
+            hit_grid, False, jax.lax.bitwise_or, (3, 3), (1, 1), "SAME"
+        )
+        hit_all = jax.lax.reduce_window(
+            hit_grid, True, jax.lax.bitwise_and, (3, 3), (1, 1), "SAME"
+        )
+        up = lambda g: jnp.repeat(jnp.repeat(g, stride, axis=0), stride, axis=1)
         seed_full = jnp.where(
-            jnp.isfinite(up), up - cfg.march.c2f_backoff, jnp.nan
+            jnp.isfinite(up(dmin)), up(dmin) - cfg.march.c2f_backoff, jnp.nan
         )
-    return seed_full.reshape(-1)
+        hit_any_full = up(hit_any)
+        hit_all_full = up(hit_all)
+        anchor_full = up(res.depth_at_min.reshape(h, w))
+
+    n = h_full * w_full
+    seed = seed_full.reshape(-1)
+    if not cfg.march.c2f_classify:
+        return C2FPlan(
+            init_depth=seed,
+            init_active=jnp.ones((n,), bool),
+            order=jnp.arange(n),
+        )
+
+    hit_any = hit_any_full.reshape(-1)
+    hit_all = hit_all_full.reshape(-1)
+    anchor = anchor_full.reshape(-1)
+
+    skip = ~hit_any                        # margin anchored at coarse min
+    interior = hit_all                     # tight seed
+    rim = hit_any & ~hit_all               # full march
+
+    init_depth = jnp.where(skip, anchor, jnp.where(interior, seed, jnp.nan))
+    init_active = ~skip
+    key = jnp.where(rim, 0, jnp.where(interior, 1, 2)).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True)
+    return C2FPlan(init_depth=init_depth, init_active=init_active, order=order)
+
+
+def c2f_seed_depth(march_fn, origins, dirs, cfg: RenderConfig) -> jax.Array:
+    """Back-compat: seed-only view of c2f_plan."""
+    return c2f_plan(march_fn, origins, dirs, cfg).init_depth
 
 
 class RenderOutput(NamedTuple):
@@ -110,6 +174,7 @@ def render_rays(
     cfg: RenderConfig,
     march_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     init_depth: Optional[jax.Array] = None,
+    init_active: Optional[jax.Array] = None,
 ) -> RenderOutput:
     """Trace + differentiable composition for a flat ray batch [N, 3].
 
@@ -120,7 +185,7 @@ def render_rays(
     eval re-anchors the depth on the fp32 surface."""
     if march_fn is None:
         march_fn = lambda p: sdf_fn(_sg(latent), p)
-    trace = _trace(march_fn, _sg(origins), _sg(dirs), cfg, init_depth)
+    trace = _trace(march_fn, _sg(origins), _sg(dirs), cfg, init_depth, init_active)
     trace = jax.tree_util.tree_map(_sg, trace)
 
     d0 = trace.depth
@@ -187,13 +252,31 @@ def render(
     march_fn = None
     if march_fn_factory is not None:
         march_fn = march_fn_factory(_sg(latent))
-    seed = None
     if cfg.march.coarse_to_fine and cfg.c2f_strides_valid():
         mf = march_fn or (lambda p: sdf_fn(_sg(latent), p))
-        seed = _sg(c2f_seed_depth(mf, _sg(origins), _sg(dirs), cfg))
-    out = render_rays(
-        sdf_fn, latent, origins, dirs, cfg, march_fn=march_fn, init_depth=seed
-    )
+        plan = jax.tree_util.tree_map(
+            _sg, c2f_plan(mf, _sg(origins), _sg(dirs), cfg)
+        )
+        perm = plan.order
+        inv = jnp.argsort(perm)
+        out_p = render_rays(
+            sdf_fn, latent,
+            origins[perm], dirs[perm], cfg,
+            march_fn=march_fn,
+            init_depth=plan.init_depth[perm],
+            init_active=plan.init_active[perm],
+        )
+        unperm = lambda a: None if a is None else jnp.take(a, inv, axis=0)
+        out = RenderOutput(
+            depth=unperm(out_p.depth),
+            mask=unperm(out_p.mask),
+            normal=unperm(out_p.normal),
+            min_sdf=unperm(out_p.min_sdf),
+            points=unperm(out_p.points),
+            trace=None,
+        )
+    else:
+        out = render_rays(sdf_fn, latent, origins, dirs, cfg, march_fn=march_fn)
     hw = (cfg.img_h, cfg.img_w)
     return RenderOutput(
         depth=out.depth.reshape(hw),

@@ -155,7 +155,7 @@ def march_step(
     )
 
 
-def _ray_init(origins, dirs, march: MarchConfig, init_depth):
+def _ray_init(origins, dirs, march: MarchConfig, init_depth, init_active=None):
     t_near, t_far, enters = ray_sphere_entry(
         origins, dirs, march.sphere_radius, 0.0
     )
@@ -165,7 +165,8 @@ def _ray_init(origins, dirs, march: MarchConfig, init_depth):
     if init_depth is not None:
         seeded = jnp.isfinite(init_depth) & enters
         d0 = jnp.where(seeded, jnp.maximum(init_depth, t_near), d0)
-    return t_near, far_bound, enters, t_closest, d0
+    active = enters if init_active is None else (enters & init_active)
+    return t_near, far_bound, active, enters, t_closest, d0
 
 
 def _finalize(out: RayState, origins, dirs, march, enters, t_closest, steps_used, live_counts):
@@ -190,18 +191,22 @@ def sphere_trace(
     dirs: jax.Array,
     march: MarchConfig,
     init_depth: Optional[jax.Array] = None,
+    init_active: Optional[jax.Array] = None,
 ) -> TraceResult:
     """Masked dense march: every ray advances each step until all converge
     or terminate; while_loop exits early once no ray is live.
 
     init_depth: optional [N] per-ray starting distance (NaN = no seed).
     Used by coarse-to-fine (fine rays start just in front of the coarse
-    surface estimate — SURVEY.md §7 hard part 5)."""
+    surface estimate — SURVEY.md §7 hard part 5).
+    init_active: optional [N] bool — rays marked False never march (the
+    coarse-to-fine skip class); their depth stays at init_depth, so the
+    renderer's differentiable margin recompute anchors there."""
     n = origins.shape[0]
-    t_near, far_bound, enters, t_closest, d0 = _ray_init(
-        origins, dirs, march, init_depth
+    t_near, far_bound, active0, enters, t_closest, d0 = _ray_init(
+        origins, dirs, march, init_depth, init_active
     )
-    state = _init_state(n, d0, enters)
+    state = _init_state(n, d0, active0)
     carry = (state, jnp.zeros((), jnp.int32), jnp.zeros((march.max_steps,), jnp.int32))
 
     def cond(c):
@@ -230,6 +235,7 @@ def sphere_trace_compact(
     init_depth: Optional[jax.Array] = None,
     bucket_frac: int = 4,
     inner_steps: int = 16,
+    init_active: Optional[jax.Array] = None,
 ) -> TraceResult:
     """Sphere trace with fixed-shape live-ray compaction — the TPU rebuild
     of the reference's "dynamic synchronized inference" (SURVEY.md §3.1:
@@ -251,10 +257,10 @@ def sphere_trace_compact(
         (march.max_steps + inner_steps - 1) // inner_steps
     ) + 2
 
-    t_near, far_bound, enters, t_closest, d0 = _ray_init(
-        origins, dirs, march, init_depth
+    t_near, far_bound, active0, enters, t_closest, d0 = _ray_init(
+        origins, dirs, march, init_depth, init_active
     )
-    state = _init_state(n, d0, enters)
+    state = _init_state(n, d0, active0)
     carry = (state, jnp.zeros((), jnp.int32), jnp.zeros((max_outer,), jnp.int32))
 
     def outer_cond(c):
