@@ -185,9 +185,19 @@ def extract_mesh(
     sdf_fn: Callable[[jax.Array], jax.Array],
     resolution: int = 128,
     bound: float = 1.0,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """SDF -> (verts, faces)."""
-    return marching_tetrahedra(sdf_grid(sdf_fn, resolution, bound), bound)
+    """SDF -> (verts, faces). Grid evaluation on device; triangle assembly
+    through the C++ kernels (native/mesh_kernels.cpp) when available,
+    numpy fallback otherwise."""
+    grid = sdf_grid(sdf_fn, resolution, bound)
+    if use_native:
+        from dist_renderer_tpu.eval.native import marching_tetrahedra_native
+
+        out = marching_tetrahedra_native(grid, bound)
+        if out is not None:
+            return out
+    return marching_tetrahedra(grid, bound)
 
 
 def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
