@@ -119,13 +119,34 @@ def so3_exp(w: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Rotation matrix -> axis-angle (principal branch)."""
+    """Rotation matrix -> axis-angle (principal branch). Handles both the
+    theta -> 0 and theta -> pi singularities (the vee formula loses all
+    precision near pi; there the axis is recovered from the symmetric
+    part instead)."""
     cos = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
     theta = jnp.arccos(cos)
     vee = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
     sin = jnp.sin(theta)
-    scale = jnp.where(theta < 1e-6, 0.5 + theta * theta / 12.0, theta / (2.0 * jnp.where(sin == 0, 1.0, sin)))
-    return scale * vee
+    scale = jnp.where(
+        theta < 1e-6,
+        0.5 + theta * theta / 12.0,
+        theta / (2.0 * jnp.where(sin == 0, 1.0, sin)),
+    )
+    w_gen = scale * vee
+
+    # near pi: R + R^T = 2 cos I + 2 (1 - cos) n n^T  =>  columns of
+    # B = (R + R^T)/2 - cos I are (1 - cos) n_i * n; take the largest.
+    B = 0.5 * (R + R.T) - cos * jnp.eye(3, dtype=R.dtype)
+    col_sq = jnp.sum(B * B, axis=0)
+    k = jnp.argmax(col_sq)
+    axis = B[:, k]
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-12)
+    # sign: align with vee (vee ~ 2 sin(theta) n keeps the right sign as
+    # long as sin(theta) > 0, i.e. theta < pi exactly)
+    sign = jnp.where(jnp.dot(axis, vee) < 0.0, -1.0, 1.0)
+    w_pi = theta * axis * sign
+
+    return jnp.where(cos < -0.9, w_pi, w_gen)
 
 
 def rot6d_to_matrix(x: jax.Array) -> jax.Array:

@@ -78,6 +78,46 @@ def render_frame_sharded(
     )
 
 
+def render_views_sharded(
+    sdf_fn: Callable,
+    latent: jax.Array,
+    origins: jax.Array,   # [V, N, 3]
+    dirs: jax.Array,      # [V, N, 3]
+    cfg: RenderConfig,
+    mesh: Mesh,
+    view_axis: str = "latents",
+):
+    """Multi-view render with views sharded across chips (SURVEY.md §2
+    'View parallel': shard views across chips for config #3). The shared
+    latent is replicated; each chip renders its view shard independently
+    — no communication during the march; grads over the shared latent
+    psum at the loss boundary (in the caller's grad)."""
+    n_shards = mesh.shape[view_axis]
+    if origins.shape[0] % n_shards:
+        raise ValueError(
+            f"{origins.shape[0]} views not divisible by {n_shards} shards"
+        )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(view_axis), P(view_axis)),
+        out_specs=P(view_axis),
+        check_vma=False,
+    )
+    def _shard(lat, o, v):
+        def one(o1, v1):
+            out = render_rays(sdf_fn, lat, o1, v1, cfg)
+            return RenderOutput(
+                depth=out.depth, mask=out.mask, normal=out.normal,
+                min_sdf=out.min_sdf, points=out.points, trace=None,
+            )
+
+        return jax.vmap(one)(o, v)
+
+    return _shard(latent, origins, dirs)
+
+
 def make_sharded_fit_step(
     sdf_fn: Callable,
     cfg: RenderConfig,

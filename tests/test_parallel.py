@@ -51,6 +51,29 @@ def test_sharded_render_matches_single_device():
     )
 
 
+def test_view_sharded_render_matches_vmap():
+    from dist_renderer_tpu.ops.renderer import render_rays
+    from dist_renderer_tpu.parallel.sharding import render_views_sharded
+
+    img = 16
+    cam_list = [
+        Camera.looking_at((2.0 * np.cos(a), 0.5, 2.0 * np.sin(a)),
+                          focal=20.0, img_hw=(img, img))
+        for a in np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    ]
+    rays = [pixel_rays(c, img, img) for c in cam_list]
+    origins = jnp.stack([r[0] for r in rays])
+    dirs = jnp.stack([r[1] for r in rays])
+    f = latent_sphere_sdf()
+    z = jnp.array([0.5])
+    cfg = RenderConfig(img_h=img, img_w=img, march=MARCH)
+
+    ref = jax.vmap(lambda o, v: render_rays(f, z, o, v, cfg).depth)(origins, dirs)
+    mesh = make_mesh(("latents",))  # 8 devices on the view axis
+    out = render_views_sharded(f, z, origins, dirs, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref), atol=1e-5)
+
+
 def test_sharded_fit_step_reduces_loss():
     img = 16
     cam, cfg = _setup(img)
