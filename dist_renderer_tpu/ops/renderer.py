@@ -189,9 +189,14 @@ def render_rays(
     trace = jax.tree_util.tree_map(_sg, trace)
 
     d0 = trace.depth
-    p_surf = origins + d0[:, None] * dirs          # origins/dirs stay live (pose grads)
-    # ONE decoder fwd + ONE vjp gives both the differentiable surface value
-    # and its spatial gradient (normals + IFT denominator)
+    # ONE differentiable decoder eval serves both outputs: hit rays anchor
+    # at the converged surface point (depth + near-zero margin), miss rays
+    # at their recorded min-SDF point (silhouette margin — SURVEY.md §3.2:
+    # "the silhouette's min-SDF sample is recomputed differentiably at its
+    # recorded point"). One fwd + one vjp also yields the spatial gradient
+    # (normals + the IFT denominator).
+    anchor = jnp.where(trace.hit, d0, trace.depth_at_min)
+    p_surf = origins + anchor[:, None] * dirs      # origins/dirs live (pose grads)
     s, pullback = jax.vjp(lambda p: sdf_fn(latent, p), p_surf)
     (g,) = pullback(jnp.ones_like(s))
     if cfg.grad.mode == "ift":
@@ -203,12 +208,7 @@ def render_rays(
         depth = d0 + s
 
     depth = jnp.where(trace.hit, depth, cfg.background_depth)
-
-    # Differentiable silhouette margin: re-evaluate the decoder at the
-    # recorded min-SDF point (SURVEY.md §3.2: "the silhouette's min-SDF
-    # sample is similarly recomputed differentiably at its recorded point").
-    p_min = origins + trace.depth_at_min[:, None] * dirs
-    min_sdf = sdf_fn(latent, p_min)
+    min_sdf = s
 
     # Normals: grad_x f at the surface, normalized. Differentiable w.r.t.
     # latent (useful for normal-map losses); central differences optional.

@@ -69,6 +69,36 @@ def fit(
         variables = optax.apply_updates(variables, updates)
         return variables, opt_state, loss, aux
 
+    # Fast path: no per-step host work requested => run the WHOLE loop in
+    # one lax.scan on device. Over the tunneled TPU a Python step loop
+    # pays ~0.3 s dispatch latency per iteration; scan pays it once.
+    if callback is None and not log_every and not (
+        checkpoint_dir and cfg.checkpoint_every
+    ):
+        @jax.jit
+        def scan_all(variables, opt_state):
+            def body(carry, _):
+                v, o = carry
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(v)
+                updates, o = tx.update(grads, o, v)
+                v = optax.apply_updates(v, updates)
+                return (v, o), (loss, aux)
+
+            (v, o), (losses, auxs) = jax.lax.scan(
+                body, (variables, opt_state), None,
+                length=cfg.steps - start_step,
+            )
+            return v, o, losses, auxs
+
+        variables, opt_state, losses_arr, auxs = scan_all(variables, opt_state)
+        aux = {k: v[-1] for k, v in auxs.items()}
+        return FitResult(
+            variables=variables, loss_history=losses_arr,
+            metrics=aux,
+        )
+
     losses = []
     aux: Dict[str, jax.Array] = {}
     for step in range(start_step, cfg.steps):
