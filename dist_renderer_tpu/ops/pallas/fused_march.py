@@ -212,13 +212,19 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int):
             return (d, jnp.where(still, 1.0, 0.0), hit_f, d_lo, f_lo, d_hi,
                     f_hi, min_sdf, d_at_min, last_f, steps)
 
-        def body(i, c):
-            act_f = c[1]
-            return jax.lax.cond(
-                jnp.max(act_f) > 0.5, march_one, lambda c: c, c
-            )
+        # Genuine early exit: the while_loop ENDS when the block's rays are
+        # all done — a fori_loop + cond still cycles max_steps iterations
+        # per block, and that fixed overhead dominated dead blocks
+        # (measured: classified c2f gained nothing under fori).
+        def loop_cond(kc):
+            k, c = kc
+            return (k < max_steps) & (jnp.max(c[1]) > 0.5)
 
-        out = jax.lax.fori_loop(0, max_steps, body, carry0)
+        def loop_body(kc):
+            k, c = kc
+            return (k + 1, march_one(c))
+
+        _, out = jax.lax.while_loop(loop_cond, loop_body, (0, carry0))
         (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
          last_f, steps) = out
 

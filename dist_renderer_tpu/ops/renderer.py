@@ -98,9 +98,19 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
         o_l = o_g[::stride, ::stride].reshape(-1, 3)
         v_l = v_g[::stride, ::stride].reshape(-1, 3)
         init = None
+        active = None
         if seed_full is not None:
             init = seed_full[::stride, ::stride].reshape(-1)
-        res = _trace(march_fn, o_l, v_l, cfg, init)
+            if cfg.march.c2f_classify:
+                # level-wise skip: coarse rays whose parent neighborhood
+                # missed entirely never re-march — background cost is paid
+                # only at the coarsest level. Their margin anchor (stored
+                # in init) propagates down to the fine level.
+                active = hit_any_full[::stride, ::stride].reshape(-1)
+                init = jnp.where(
+                    active, init, anchor_full[::stride, ::stride].reshape(-1)
+                )
+        res = _trace(march_fn, o_l, v_l, cfg, init, active)
         depth_grid = jnp.where(res.hit, res.depth, jnp.inf).reshape(h, w)
         hit_grid = res.hit.reshape(h, w)
         # min over 3x3 neighborhood -> conservative seed
