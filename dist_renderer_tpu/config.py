@@ -79,6 +79,10 @@ class MarchConfig:
     coarse_to_fine: bool = False    # staged-resolution marching (perf layer)
     c2f_strides: Tuple[int, ...] = (4, 2)  # coarse levels (then full res)
     c2f_backoff: float = 0.05       # step back from upsampled coarse depth
+    c2f_coarse_steps: int = 24      # step cap at coarse levels (classification
+                                    # only needs approximate convergence; rays
+                                    # that get close but don't resolve still
+                                    # count as hit_any, so no skip is wrong)
     c2f_classify: bool = True       # work-class partition: rays whose whole
                                     # coarse neighborhood missed skip the fine
                                     # march (margin anchored at the coarse

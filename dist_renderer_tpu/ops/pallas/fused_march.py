@@ -349,7 +349,7 @@ class PallasMarchFn:
     (cfg.use_pallas) while losses/normals keep using the plain decoder."""
 
     def __init__(self, folded: Sequence[FoldedLayer], cfg: DecoderConfig,
-                 point_fn, block: int = 512):
+                 point_fn, block: int = 2048):
         self.packed = pack_folded(folded, cfg)
         self.point_fn = point_fn
         self.block = block

@@ -85,6 +85,8 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
     instead of per step.
 
     Entirely non-differentiable (runs under stop_gradient)."""
+    import dataclasses as _dc
+
     h_full, w_full = cfg.img_h, cfg.img_w
     o_g = origins.reshape(h_full, w_full, 3)
     v_g = dirs.reshape(h_full, w_full, 3)
@@ -92,6 +94,15 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
     hit_any_full = None
     hit_all_full = None
     anchor_full = None
+
+    # coarse levels only inform classification/seeding: cap their march
+    coarse_cfg = _dc.replace(
+        cfg,
+        march=_dc.replace(
+            cfg.march,
+            max_steps=min(cfg.march.max_steps, cfg.march.c2f_coarse_steps),
+        ),
+    )
 
     for stride in cfg.c2f_strides_valid():
         h, w = h_full // stride, w_full // stride
@@ -110,9 +121,29 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
                 init = jnp.where(
                     active, init, anchor_full[::stride, ::stride].reshape(-1)
                 )
-        res = _trace(march_fn, o_l, v_l, cfg, init, active)
+        if active is not None and cfg.march.c2f_classify:
+            # per-level work-homogeneous ordering: skip-last, rim-first
+            key = jnp.where(active & jnp.isnan(init), 0,
+                            jnp.where(active, 1, 2)).astype(jnp.int32)
+            order = jnp.argsort(key, stable=True)
+            inv = jnp.argsort(order)
+            res_s = _trace(
+                march_fn, o_l[order], v_l[order], coarse_cfg,
+                init[order], active[order],
+            )
+            res = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, inv, axis=0)
+                if (a.ndim and a.shape[0] == inv.shape[0]) else a,
+                res_s,
+            )
+        else:
+            res = _trace(march_fn, o_l, v_l, coarse_cfg, init, active)
         depth_grid = jnp.where(res.hit, res.depth, jnp.inf).reshape(h, w)
-        hit_grid = res.hit.reshape(h, w)
+        # conservative "hit" for classification: a coarse ray that came
+        # within the backoff of the surface but did not resolve (step cap)
+        # must NOT cause its fine children to be skipped
+        hit_grid = (res.hit | (res.min_sdf < cfg.march.c2f_backoff)).reshape(h, w)
+        hit_strict = res.hit.reshape(h, w)
         # min over 3x3 neighborhood -> conservative seed
         dmin = jax.lax.reduce_window(
             depth_grid, jnp.inf, jax.lax.min, (3, 3), (1, 1), "SAME"
@@ -121,7 +152,7 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
             hit_grid, False, jax.lax.bitwise_or, (3, 3), (1, 1), "SAME"
         )
         hit_all = jax.lax.reduce_window(
-            hit_grid, True, jax.lax.bitwise_and, (3, 3), (1, 1), "SAME"
+            hit_strict, True, jax.lax.bitwise_and, (3, 3), (1, 1), "SAME"
         )
         up = lambda g: jnp.repeat(jnp.repeat(g, stride, axis=0), stride, axis=1)
         seed_full = jnp.where(

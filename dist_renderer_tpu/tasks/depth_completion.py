@@ -14,6 +14,8 @@ from __future__ import annotations
 import argparse
 import os
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -69,21 +71,27 @@ def main(argv=None):
 
     z0 = jnp.zeros_like(gt_latent)  # cold start (mean latent)
 
-    def cb(step, z, loss):
-        logger.log(step, loss=loss)
-        if args.vis_every and step % args.vis_every == 0:
-            out = render(sdf_fn, z, cam, cfg, factory)
-            save_render_panel(
-                os.path.join(args.out, f"iter{step:05d}.png"), out, obs_depth
-            )
+    if args.vis_every:
+        def cb(step, z, loss):
+            logger.log(step, loss=loss)
+            if step % args.vis_every == 0:
+                out = render(sdf_fn, z, cam, cfg, factory)
+                save_render_panel(
+                    os.path.join(args.out, f"iter{step:05d}.png"), out, obs_depth
+                )
 
-    res = fit(
-        loss_fn, z0,
-        OptimConfig(lr=args.lr, steps=args.steps),
-        checkpoint_dir=args.checkpoint_dir,
-        log_every=max(args.steps // 10, 1),
-        callback=cb,
-    )
+        res = fit(
+            loss_fn, z0,
+            OptimConfig(lr=args.lr, steps=args.steps),
+            checkpoint_dir=args.checkpoint_dir,
+            log_every=max(args.steps // 10, 1),
+            callback=cb,
+        )
+    else:
+        # no per-step host work -> whole loop runs on device (lax.scan)
+        res = fit(loss_fn, z0, OptimConfig(lr=args.lr, steps=args.steps))
+        for step, l in enumerate(np.asarray(res.loss_history)):
+            logger.log(step, loss=float(l))
 
     out = render(sdf_fn, res.variables, cam, cfg, factory)
     save_render_panel(os.path.join(args.out, "final.png"), out, obs_depth)

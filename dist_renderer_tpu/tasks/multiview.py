@@ -97,10 +97,11 @@ def main(argv=None):
     res = fit(
         loss_fn, jnp.zeros_like(gt_latent),
         OptimConfig(lr=args.lr, steps=args.steps),
-        checkpoint_dir=args.checkpoint_dir,
-        log_every=max(args.steps // 10, 1),
-        callback=lambda s, z, l: logger.log(s, loss=l),
     )
+    import numpy as _np
+
+    for s, l in enumerate(_np.asarray(res.loss_history)):
+        logger.log(s, loss=float(l))
 
     out = jax.vmap(lambda o, v: render_view(res.variables, o, v))(origins, dirs)
     imgs = [colorize_depth(out.depth[i].reshape(hw), out.mask[i].reshape(hw))

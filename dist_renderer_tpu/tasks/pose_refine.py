@@ -78,13 +78,9 @@ def main(argv=None):
         total = args.w_depth * ld + args.w_sil * ls
         return total, {"depth": ld, "sil": ls}
 
-    res = fit(
-        loss_fn, pose0,
-        OptimConfig(lr=args.lr, steps=args.steps),
-        checkpoint_dir=args.checkpoint_dir,
-        log_every=max(args.steps // 10, 1),
-        callback=lambda s, p, l: logger.log(s, loss=l),
-    )
+    res = fit(loss_fn, pose0, OptimConfig(lr=args.lr, steps=args.steps))
+    for s, l in enumerate(np.asarray(res.loss_history)):
+        logger.log(s, loss=float(l))
 
     cam_f = camera_from_pose(res.variables, cam_gt.K, args.param)
     rot_err = np.degrees(
