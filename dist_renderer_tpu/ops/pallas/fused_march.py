@@ -236,7 +236,8 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int):
                 d_at_min,
                 last_f,
                 steps,
-                jnp.zeros((2, d.shape[1]), f32),
+                act_f,                              # unresolved at exit
+                jnp.zeros((1, d.shape[1]), f32),
             ],
             axis=0,
         )                                           # [8, B]
@@ -326,6 +327,7 @@ def pallas_sphere_trace(
     d_at_min = out[3, :n]
     last_f = out[4, :n]
     steps = out[5, :n]
+    unresolved = out[6, :n] > 0.5
 
     p_closest = origins + t_closest[:, None] * dirs
     geo_margin = jnp.linalg.norm(p_closest, axis=-1) - march.sphere_radius
@@ -340,6 +342,7 @@ def pallas_sphere_trace(
         last_sdf=last_f,
         steps_used=jnp.max(steps).astype(jnp.int32),
         live_counts=jnp.zeros((march.max_steps,), jnp.int32),
+        unresolved=unresolved,
     )
 
 
@@ -349,7 +352,7 @@ class PallasMarchFn:
     (cfg.use_pallas) while losses/normals keep using the plain decoder."""
 
     def __init__(self, folded: Sequence[FoldedLayer], cfg: DecoderConfig,
-                 point_fn, block: int = 2048):
+                 point_fn, block: int = 512):
         self.packed = pack_folded(folded, cfg)
         self.point_fn = point_fn
         self.block = block

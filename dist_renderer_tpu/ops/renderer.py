@@ -138,11 +138,16 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
             )
         else:
             res = _trace(march_fn, o_l, v_l, coarse_cfg, init, active)
-        depth_grid = jnp.where(res.hit, res.depth, jnp.inf).reshape(h, w)
-        # conservative "hit" for classification: a coarse ray that came
-        # within the backoff of the surface but did not resolve (step cap)
-        # must NOT cause its fine children to be skipped
-        hit_grid = (res.hit | (res.min_sdf < cfg.march.c2f_backoff)).reshape(h, w)
+        # seedable depth: converged depth for hits; for step-capped
+        # UNRESOLVED rays the current march distance (a safe lower bound
+        # on their surface distance — partial progress is not wasted)
+        depth_grid = jnp.where(
+            res.hit | res.unresolved, res.depth, jnp.inf
+        ).reshape(h, w)
+        # conservative "hit" for classification: an unresolved coarse ray
+        # must not cause its fine children to be skipped (true misses —
+        # far-bound exits — classify normally)
+        hit_grid = (res.hit | res.unresolved).reshape(h, w)
         hit_strict = res.hit.reshape(h, w)
         # min over 3x3 neighborhood -> conservative seed
         dmin = jax.lax.reduce_window(
@@ -177,9 +182,12 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
 
     skip = ~hit_any                        # margin anchored at coarse min
     interior = hit_all                     # tight seed
-    rim = hit_any & ~hit_all               # full march
+    rim = hit_any & ~hit_all               # marches, seeded when a
+                                           # neighbor provides a bound
+                                           # (reference's subdivision also
+                                           # inherits the parent depth)
 
-    init_depth = jnp.where(skip, anchor, jnp.where(interior, seed, jnp.nan))
+    init_depth = jnp.where(skip, anchor, seed)
     init_active = ~skip
     key = jnp.where(rim, 0, jnp.where(interior, 1, 2)).astype(jnp.int32)
     order = jnp.argsort(key, stable=True)

@@ -50,6 +50,9 @@ class TraceResult(NamedTuple):
     last_sdf: jax.Array     # sdf at the final evaluated point
     steps_used: jax.Array   # scalar: march iterations executed
     live_counts: jax.Array  # live-ray telemetry (per step / per outer round)
+    unresolved: jax.Array   # bool: still live when the step budget ended
+                            # (neither hit nor miss — used by c2f so a
+                            # step-capped coarse ray never causes a skip)
 
 
 class RayState(NamedTuple):
@@ -182,6 +185,7 @@ def _finalize(out: RayState, origins, dirs, march, enters, t_closest, steps_used
         last_sdf=out.last_sdf,
         steps_used=steps_used,
         live_counts=live_counts,
+        unresolved=out.active,
     )
 
 
