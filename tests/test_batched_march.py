@@ -1,0 +1,64 @@
+"""Multi-frame batched kernel: interpret-mode parity vs per-frame traces."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dist_renderer_tpu.config import DecoderConfig, MarchConfig
+from dist_renderer_tpu.models.analytic import sphere_sdf
+from dist_renderer_tpu.models.folded import make_point_fn
+from dist_renderer_tpu.models.pretrain import fit_decoder_to_sdf
+from dist_renderer_tpu.ops.camera import Camera, pixel_rays
+from dist_renderer_tpu.ops.pallas.batched_march import (
+    fold_bias_bank, pack_shared, render_depth_batched,
+)
+from dist_renderer_tpu.ops.tracer import sphere_trace
+
+MARCH = MarchConfig(max_steps=40)
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    dcfg = DecoderConfig(latent_size=8, hidden_dims=(32,) * 4, latent_in=(2,))
+    params, z0 = fit_decoder_to_sdf(
+        lambda p: sphere_sdf(0.5)(None, p), dcfg, steps=300, batch=1024,
+    )
+    return params, z0, dcfg
+
+
+def test_bias_bank_layout(decoder):
+    params, z0, dcfg = decoder
+    shared = pack_shared(params, dcfg)
+    lat = jnp.stack([z0, z0 * 0.5, -z0])
+    bank = fold_bias_bank(params, lat, dcfg, shared)
+    assert bank.shape[0] == shared.total
+    assert bank.shape[1] % 128 == 0
+    # columns differ across latents
+    assert not np.allclose(np.asarray(bank[:, 0]), np.asarray(bank[:, 1]))
+
+
+def test_batched_matches_per_frame(decoder):
+    params, z0, dcfg = decoder
+    img = 16
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=20.0, img_hw=(img, img))
+    o, v = pixel_rays(cam, img, img)
+    latents = jnp.stack([z0, z0 + 0.05, z0 - 0.05])
+    f = latents.shape[0]
+
+    origins = jnp.broadcast_to(o[None], (f,) + o.shape)
+    dirs = jnp.broadcast_to(v[None], (f,) + v.shape)
+    depth_b, hit_b = render_depth_batched(
+        params, dcfg, latents, origins, dirs, MARCH, block=256, interpret=True
+    )
+
+    for i in range(f):
+        pf = make_point_fn(params, latents[i], dcfg, jnp.bfloat16)
+        ref = sphere_trace(pf, o, v, MARCH)
+        agree = (np.asarray(hit_b[i]) == np.asarray(ref.hit)).mean()
+        assert agree > 0.97, f"frame {i}: hit agreement {agree}"
+        both = np.asarray(hit_b[i]) & np.asarray(ref.hit)
+        if both.any():
+            err = np.abs(np.asarray(depth_b[i]) - np.asarray(ref.depth))[both]
+            assert np.median(err) < 5e-3
