@@ -345,6 +345,134 @@ def pallas_sphere_trace_batched(
     )
 
 
+def render_batched_c2f(
+    params: Params,
+    dcfg: DecoderConfig,
+    latents: jax.Array,            # [F, L]
+    origins: jax.Array,            # [F, H*W, 3] (square images)
+    dirs: jax.Array,               # [F, H*W, 3]
+    img_hw: Tuple[int, int],
+    march: MarchConfig,
+    block: int = 512,
+    backoff: float = 0.05,
+    coarse_steps: int = 24,
+    strides: Tuple[int, ...] = (4, 2),
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Coarse-to-fine classified BATCHED rendering — the full config-#5
+    pipeline: coarse levels, classification, and the final march all run
+    through the multi-frame fused kernel; sorting is per frame so blocks
+    stay frame-pure AND work-homogeneous.
+
+    Returns (depth [F, N], hit [F, N], min_sdf [F, N])."""
+    import dataclasses as _dc
+
+    f = origins.shape[0]
+    h, w = img_hw
+    n = h * w
+    shared = pack_shared(params, dcfg)
+    bank = fold_bias_bank(params, latents, dcfg, shared)
+    coarse_march = _dc.replace(
+        march, max_steps=min(march.max_steps, coarse_steps)
+    )
+
+    def batched_trace(o, v, m, seed, active):
+        """o/v [F, R, 3] -> TraceResult over flat [F*R_pad] rays."""
+        r = o.shape[1]
+        r_pad = _round_up(max(r, block), block)
+        pad = r_pad - r
+        o_p = jnp.pad(o, ((0, 0), (0, pad), (0, 0))).reshape(-1, 3)
+        v_p = jnp.pad(v, ((0, 0), (0, pad), (0, 0)), constant_values=1.0).reshape(-1, 3)
+        s_p = None
+        if seed is not None:
+            s_p = jnp.pad(seed, ((0, 0), (0, pad)), constant_values=jnp.nan).reshape(-1)
+        a = jnp.pad(active, ((0, 0), (0, pad))).reshape(-1)
+        frame_of_ray = jnp.repeat(jnp.arange(f, dtype=jnp.int32), r_pad)
+        res = pallas_sphere_trace_batched(
+            shared, bank, frame_of_ray, o_p, v_p, m, s_p,
+            init_active=a, block=block, interpret=interpret,
+        )
+        unflat = lambda x: x.reshape(f, r_pad)[:, :r]
+        return (
+            unflat(res.depth), unflat(res.hit), unflat(res.min_sdf),
+            unflat(res.depth_at_min), unflat(res.unresolved),
+        )
+
+    o_g = origins.reshape(f, h, w, 3)
+    v_g = dirs.reshape(f, h, w, 3)
+    seed_full = None      # [F, H, W]
+    hit_any_full = None
+    hit_all_full = None
+    anchor_full = None
+
+    for stride in strides:
+        if h % stride or w % stride:
+            continue
+        hh, ww = h // stride, w // stride
+        o_l = o_g[:, ::stride, ::stride].reshape(f, -1, 3)
+        v_l = v_g[:, ::stride, ::stride].reshape(f, -1, 3)
+        if seed_full is None:
+            seed = None
+            active = jnp.ones((f, hh * ww), bool)
+        else:
+            seed = seed_full[:, ::stride, ::stride].reshape(f, -1)
+            active = hit_any_full[:, ::stride, ::stride].reshape(f, -1)
+            seed = jnp.where(
+                active, seed,
+                anchor_full[:, ::stride, ::stride].reshape(f, -1),
+            )
+        d, hit, msdf, dam, unres = batched_trace(
+            o_l, v_l, coarse_march, seed, active
+        )
+        seedable = hit | unres
+        depth_grid = jnp.where(seedable, d, jnp.inf).reshape(f, hh, ww)
+        hitish = seedable.reshape(f, hh, ww)
+        strict = hit.reshape(f, hh, ww)
+        rw = lambda g, init, op: jax.lax.reduce_window(
+            g, init, op, (1, 3, 3), (1, 1, 1), "SAME"
+        )
+        dmin = rw(depth_grid, jnp.inf, jax.lax.min)
+        hit_any = rw(hitish, False, jax.lax.bitwise_or)
+        hit_all = rw(strict, True, jax.lax.bitwise_and)
+        up = lambda g: jnp.repeat(jnp.repeat(g, stride, 1), stride, 2)
+        seed_full = jnp.where(jnp.isfinite(up(dmin)), up(dmin) - backoff, jnp.nan)
+        hit_any_full = up(hit_any)
+        hit_all_full = up(hit_all)
+        anchor_full = up(dam.reshape(f, hh, ww))
+        margin_full = up(msdf.reshape(f, hh, ww))
+
+    if seed_full is None:  # no valid strides: plain batched march
+        d, hit, msdf, _, _ = batched_trace(
+            origins, dirs, march, None, jnp.ones((f, n), bool)
+        )
+        return d, hit, msdf
+
+    seed = seed_full.reshape(f, n)
+    hit_any = hit_any_full.reshape(f, n)
+    hit_all = hit_all_full.reshape(f, n)
+    anchor = anchor_full.reshape(f, n)
+    margin = margin_full.reshape(f, n)
+
+    skip = ~hit_any
+    init_depth = jnp.where(skip, anchor, seed)
+    init_active = ~skip
+    rim = hit_any & ~hit_all
+    key = jnp.where(rim, 0, jnp.where(hit_all, 1, 2)).astype(jnp.int32)
+    order = jnp.argsort(key, axis=1, stable=True)        # per-frame sort
+    inv = jnp.argsort(order, axis=1)
+
+    take = lambda a, idx: jnp.take_along_axis(a, idx, axis=1)
+    o_s = jnp.take_along_axis(origins, order[..., None], axis=1)
+    v_s = jnp.take_along_axis(dirs, order[..., None], axis=1)
+    d, hit, msdf, _, _ = batched_trace(
+        o_s, v_s, march, take(init_depth, order), take(init_active, order)
+    )
+    d, hit, msdf = take(d, inv), take(hit, inv), take(msdf, inv)
+    # skip rays never marched: their silhouette margin is the coarse one
+    msdf = jnp.where(skip, margin, msdf)
+    return d, hit, msdf
+
+
 def render_depth_batched(
     params: Params,
     dcfg: DecoderConfig,

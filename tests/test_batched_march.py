@@ -39,6 +39,34 @@ def test_bias_bank_layout(decoder):
     assert not np.allclose(np.asarray(bank[:, 0]), np.asarray(bank[:, 1]))
 
 
+def test_batched_c2f_matches_plain(decoder):
+    from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
+
+    params, z0, dcfg = decoder
+    img = 16
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=20.0, img_hw=(img, img))
+    o, v = pixel_rays(cam, img, img)
+    latents = jnp.stack([z0, z0 + 0.05])
+    f = latents.shape[0]
+    origins = jnp.broadcast_to(o[None], (f,) + o.shape)
+    dirs = jnp.broadcast_to(v[None], (f,) + v.shape)
+
+    d_ref, h_ref = render_depth_batched(
+        params, dcfg, latents, origins, dirs, MARCH, block=256, interpret=True
+    )
+    d, h, msdf = render_batched_c2f(
+        params, dcfg, latents, origins, dirs, (img, img), MARCH,
+        block=256, strides=(2,), interpret=True,
+    )
+    # c2f never loses hits
+    assert (np.asarray(h_ref) & ~np.asarray(h)).sum() == 0
+    both = np.asarray(h_ref) & np.asarray(h)
+    err = np.abs(np.asarray(d) - np.asarray(d_ref))[both]
+    assert np.median(err) < 5e-3
+    # miss rays carry positive margins
+    assert (np.asarray(msdf)[~np.asarray(h)] > -1e-3).all()
+
+
 def test_batched_matches_per_frame(decoder):
     params, z0, dcfg = decoder
     img = 16
