@@ -48,13 +48,20 @@ def init_decoder_params(
     return {"layers": layers}
 
 
-def _matmul(h: jax.Array, w: jax.Array, b: jax.Array, dtype) -> jax.Array:
-    """Matmul in the compute dtype with fp32 accumulation (MXU-friendly)."""
+def _matmul(h: jax.Array, w: jax.Array, b: jax.Array, dtype,
+            precision=None) -> jax.Array:
+    """Matmul in the compute dtype with fp32 accumulation (MXU-friendly).
+
+    precision: jax.lax.Precision for fp32 inputs. On TPU the DEFAULT
+    precision runs fp32 matmuls as single bf16 passes (~1e-3 relative
+    error) — callers needing true fp32 (the differentiable recompute that
+    anchors 1e-3 depth parity) must pass HIGH/HIGHEST explicitly."""
     out = jax.lax.dot_general(
         h.astype(dtype),
         w.astype(dtype),
         (((h.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     return out + b.astype(jnp.float32)
 
@@ -65,6 +72,7 @@ def decoder_apply(
     points: jax.Array,
     cfg: DecoderConfig = DecoderConfig(),
     compute_dtype=jnp.float32,
+    precision=None,
 ) -> jax.Array:
     """Evaluate f_theta(z, x) -> sdf.
 
@@ -92,7 +100,7 @@ def decoder_apply(
             h = jnp.concatenate([h, inp], axis=-1)
         elif cfg.xyz_in_all and 0 < i < n_layers - 1:
             h = jnp.concatenate([h, x], axis=-1)
-        h = _matmul(h, layer["w"], layer["b"], compute_dtype)
+        h = _matmul(h, layer["w"], layer["b"], compute_dtype, precision)
         if i == n_layers - 1:
             # DeepSDF "use_tanh": extra tanh on the final linear output
             # (DeepSDF's `layer == num_layers - 2` with num_layers = len(dims))

@@ -242,11 +242,17 @@ def render_rays(
     # at the converged surface point (depth + near-zero margin), miss rays
     # at their recorded min-SDF point (silhouette margin — SURVEY.md §3.2:
     # "the silhouette's min-SDF sample is recomputed differentiably at its
-    # recorded point"). One fwd + one vjp also yields the spatial gradient
-    # (normals + the IFT denominator).
+    # recorded point").
     anchor = jnp.where(trace.hit, d0, trace.depth_at_min)
     p_surf = origins + anchor[:, None] * dirs      # origins/dirs live (pose grads)
-    s, pullback = jax.vjp(lambda p: sdf_fn(latent, p), p_surf)
+    s = sdf_fn(latent, p_surf)                     # precise VALUE (depth anchor)
+    # Spatial gradient (normals + IFT denominator): precision-insensitive
+    # (normalized / stop-gradient'ed) — take it from the cheap march
+    # function when one exists instead of the full-precision decoder.
+    g_fn = march_fn if march_fn is not None else (
+        lambda p: sdf_fn(_sg(latent), p)
+    )
+    _, pullback = jax.vjp(g_fn, _sg(p_surf))
     (g,) = pullback(jnp.ones_like(s))
     if cfg.grad.mode == "ift":
         # f(z, o + d(z,o,v) v) == 0  =>  dd = -df / (grad_x f . v)
@@ -426,8 +432,12 @@ class SDFRenderer:
             params = decoder_params
             dcfg = decoder_cfg
             dtype = self.cfg.dtype
-            # differentiable path: exact fp32 decoder; hot loop: folded
-            sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+            # differentiable path: true-fp32 decoder (TPU default matmul
+            # precision is a single bf16 pass — not enough for the 1e-3
+            # parity bar); hot loop: folded bf16
+            sdf_fn = lambda z, p: decoder_apply(
+                params, z, p, dcfg, precision=jax.lax.Precision.HIGH
+            )
             self.march_fn_factory = make_march_factory(params, dcfg, self.cfg)
         self.sdf_fn = sdf_fn
 

@@ -108,12 +108,19 @@ def load_task_decoder(args) -> Tuple[Params, jax.Array, DecoderConfig]:
 
 
 def make_render_cfg(args) -> RenderConfig:
+    march_kw = {}
+    if args.fast:
+        # march precision matched to the bf16 hot loop: bf16 SDF noise is
+        # ~2e-3, so tighter convergence criteria only buy wasted bisection
+        # steps; the fp32 IFT polish restores depth accuracy afterwards
+        march_kw = dict(convergence_eps=2e-3, depth_eps=5e-4)
     return RenderConfig(
         img_h=args.img, img_w=args.img,
         march=MarchConfig(
             max_steps=args.march_steps,
             coarse_to_fine=args.fast,
             use_compaction=args.fast,
+            **march_kw,
         ),
         grad=GradConfig(mode="ift" if args.fast else "last_step"),
         compute_dtype="bfloat16" if args.fast else "float32",

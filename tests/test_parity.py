@@ -1,0 +1,73 @@
+"""Depth/normal parity of the fast path vs the exact fp32 path — the
+BASELINE.json acceptance bar (<= 1e-3 depth parity). The bf16 march alone
+is ~4e-3 accurate; the fp32 IFT polish in the renderer must re-anchor
+depths to fp32 accuracy."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dist_renderer_tpu.config import (
+    DecoderConfig, GradConfig, MarchConfig, RenderConfig,
+)
+from dist_renderer_tpu.models.decoder import decoder_apply
+from dist_renderer_tpu.models.analytic import sphere_sdf
+from dist_renderer_tpu.models.pretrain import fit_decoder_to_sdf
+from dist_renderer_tpu.ops.camera import Camera
+from dist_renderer_tpu.ops.renderer import make_march_factory, render
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    dcfg = DecoderConfig(latent_size=8, hidden_dims=(48,) * 4, latent_in=(2,))
+    params, z0 = fit_decoder_to_sdf(
+        lambda p: sphere_sdf(0.5)(None, p), dcfg, steps=400, batch=2048,
+    )
+    return params, z0, dcfg
+
+
+def test_fast_path_depth_parity_1e3(decoder):
+    params, z0, dcfg = decoder
+    img = 32
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(img, img))
+    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+
+    # exact: fp32 march, tight eps, last-step composition
+    exact_cfg = RenderConfig(
+        img_h=img, img_w=img,
+        march=MarchConfig(max_steps=80, convergence_eps=1e-6, depth_eps=1e-7),
+    )
+    exact = render(sdf_fn, z0, cam, exact_cfg)
+
+    # fast: bf16 folded march, LOOSE march eps matched to bf16 noise,
+    # c2f + classification + compaction, fp32 IFT polish
+    fast_cfg = RenderConfig(
+        img_h=img, img_w=img,
+        march=MarchConfig(
+            max_steps=50, convergence_eps=2e-3, depth_eps=5e-4,
+            coarse_to_fine=True, use_compaction=True,
+        ),
+        grad=GradConfig(mode="ift"),
+        compute_dtype="bfloat16",
+    )
+    factory = make_march_factory(params, dcfg, fast_cfg)
+    fast = render(sdf_fn, z0, cam, fast_cfg, factory)
+
+    eh = np.asarray(exact.mask)
+    fh = np.asarray(fast.mask)
+    both = eh & fh
+    assert both.sum() > 0.8 * eh.sum()
+    derr = np.abs(np.asarray(fast.depth) - np.asarray(exact.depth))[both]
+    assert np.median(derr) < 2e-4
+    assert np.percentile(derr, 95) < 1e-3, (
+        f"p95 depth err {np.percentile(derr, 95):.2e}"
+    )
+    # normals agree (cosine)
+    cn = np.sum(
+        np.asarray(fast.normal)[both] * np.asarray(exact.normal)[both], axis=-1
+    )
+    assert np.median(1.0 - cn) < 1e-4
