@@ -77,7 +77,7 @@ class MarchConfig:
     bucket_frac: int = 4            # bucket capacity = n_rays / bucket_frac
     inner_steps: int = 16           # march steps per compaction round
     coarse_to_fine: bool = False    # staged-resolution marching (perf layer)
-    c2f_strides: Tuple[int, ...] = (4, 2)  # coarse levels (then full res)
+    c2f_strides: Tuple[int, ...] = (4,)    # coarse levels (then full res)
     c2f_backoff: float = 0.05       # step back from upsampled coarse depth
     c2f_coarse_steps: int = 24      # step cap at coarse levels (classification
                                     # only needs approximate convergence; rays

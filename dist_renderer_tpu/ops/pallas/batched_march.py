@@ -356,7 +356,7 @@ def render_batched_c2f(
     block: int = 512,
     backoff: float = 0.05,
     coarse_steps: int = 24,
-    strides: Tuple[int, ...] = (4, 2),
+    strides: Tuple[int, ...] = (4,),
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
