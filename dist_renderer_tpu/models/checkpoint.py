@@ -125,6 +125,61 @@ def load_latent_codes(experiment_dir: str, checkpoint: str = "latest") -> jnp.nd
     return jnp.asarray(arr.reshape(arr.shape[0], -1))
 
 
+def save_deepsdf_experiment(
+    experiment_dir: str,
+    params: Params,
+    cfg: DecoderConfig,
+    latents: Optional[jnp.ndarray] = None,
+    checkpoint: str = "latest",
+) -> None:
+    """Export params as a DeepSDF experiment dir (the reverse of
+    ``load_decoder``): specs.json + ModelParameters/<ckpt>.pth (+
+    LatentCodes/<ckpt>.pth). Decoders trained with models/train_deepsdf.py
+    round-trip into any DeepSDF-ecosystem tool, including the reference.
+
+    Weights are written as plain ``linN.weight``/``linN.bias`` (weight
+    norm folded — ``convert_torch_state_dict`` accepts both forms)."""
+    import torch
+
+    os.makedirs(os.path.join(experiment_dir, "ModelParameters"), exist_ok=True)
+    specs = {
+        "Description": "exported by dist_renderer_tpu",
+        "CodeLength": cfg.latent_size,
+        "ClampingDistance": cfg.clamp_dist,
+        "NetworkArch": "deep_sdf_decoder",
+        "NetworkSpecs": {
+            "dims": list(cfg.hidden_dims),
+            "latent_in": list(cfg.latent_in),
+            "xyz_in_all": cfg.xyz_in_all,
+            "use_tanh": cfg.use_tanh,
+            "dropout": [],
+            "dropout_prob": 0.0,
+            "norm_layers": [],
+            "weight_norm": False,
+            "latent_dropout": False,
+        },
+    }
+    with open(os.path.join(experiment_dir, "specs.json"), "w") as f:
+        json.dump(specs, f, indent=2)
+
+    sd = {}
+    for i, layer in enumerate(params["layers"]):
+        sd[f"lin{i}.weight"] = torch.from_numpy(
+            np.asarray(layer["w"]).T.copy()
+        )
+        sd[f"lin{i}.bias"] = torch.from_numpy(np.asarray(layer["b"]).copy())
+    torch.save(
+        {"model_state_dict": sd},
+        os.path.join(experiment_dir, "ModelParameters", f"{checkpoint}.pth"),
+    )
+    if latents is not None:
+        os.makedirs(os.path.join(experiment_dir, "LatentCodes"), exist_ok=True)
+        torch.save(
+            {"latent_codes": {"weight": torch.from_numpy(np.asarray(latents))}},
+            os.path.join(experiment_dir, "LatentCodes", f"{checkpoint}.pth"),
+        )
+
+
 # ----------------------------------------------------------------------------
 # orbax checkpointing of our own optimization state (SURVEY.md §5 failure
 # detection: long-running inverse-rendering loops checkpoint latent/pose/opt

@@ -66,6 +66,32 @@ def test_orbax_restore_empty_returns_template(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["x"]), np.ones(3))
 
 
+def test_deepsdf_experiment_roundtrip(tmp_path):
+    """Export -> load round-trip: our params written as a DeepSDF
+    experiment dir must load back via the reference-layout reader."""
+    from dist_renderer_tpu.models.checkpoint import (
+        load_decoder, load_latent_codes, save_deepsdf_experiment,
+    )
+    from dist_renderer_tpu.models.decoder import decoder_apply
+
+    cfg = DecoderConfig(hidden_dims=(24,) * 4, latent_size=6, latent_in=(2,))
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (3, 6))
+    exp = str(tmp_path / "exp")
+    save_deepsdf_experiment(exp, params, cfg, latents=lat)
+
+    params2, cfg2 = load_decoder(exp)
+    assert cfg2.hidden_dims == cfg.hidden_dims
+    assert cfg2.latent_size == cfg.latent_size
+    lat2 = load_latent_codes(exp)
+    np.testing.assert_allclose(np.asarray(lat2), np.asarray(lat), atol=1e-6)
+
+    pts = jax.random.normal(jax.random.PRNGKey(2), (17, 3)) * 0.4
+    s1 = decoder_apply(params, lat[0], pts, cfg)
+    s2 = decoder_apply(params2, lat[0], pts, cfg2)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-6)
+
+
 def test_shapenet_depth_layout(tmp_path):
     from dist_renderer_tpu.data.datasets import ShapeNetDepthDataset
 
