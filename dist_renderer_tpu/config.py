@@ -96,6 +96,10 @@ class GradConfig:
 
     mode: str = "last_step"   # "last_step" (DIST) | "ift" (implicit function thm)
     ift_min_denom: float = 1e-2   # clamp on n·v in the IFT denominator
+    polish_iters: int = 1     # fp32 Newton refinements of the converged depth
+                              # (>1 lets the bf16 march stop at a loose eps;
+                              # extra iterations run under stop_gradient, the
+                              # final one stays differentiable)
 
 
 @dataclasses.dataclass(frozen=True)

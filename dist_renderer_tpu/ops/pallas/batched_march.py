@@ -432,10 +432,14 @@ def render_batched_c2f(
             g, init, op, (1, 3, 3), (1, 1, 1), "SAME"
         )
         dmin = rw(depth_grid, jnp.inf, jax.lax.min)
+        dmax = rw(jnp.where(jnp.isfinite(depth_grid), depth_grid, -jnp.inf),
+                  -jnp.inf, jax.lax.max)
         hit_any = rw(hitish, False, jax.lax.bitwise_or)
         hit_all = rw(strict, True, jax.lax.bitwise_and)
         up = lambda g: jnp.repeat(jnp.repeat(g, stride, 1), stride, 2)
-        seed_full = jnp.where(jnp.isfinite(up(dmin)), up(dmin) - backoff, jnp.nan)
+        # tight seeds on depth-flat windows (see renderer.c2f_plan)
+        bo = jnp.where((dmax - dmin) < backoff, 0.2 * backoff, backoff)
+        seed_full = jnp.where(jnp.isfinite(up(dmin)), up(dmin) - up(bo), jnp.nan)
         hit_any_full = up(hit_any)
         hit_all_full = up(hit_all)
         anchor_full = up(dam.reshape(f, hh, ww))

@@ -149,9 +149,16 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
         # far-bound exits — classify normally)
         hit_grid = (res.hit | res.unresolved).reshape(h, w)
         hit_strict = res.hit.reshape(h, w)
-        # min over 3x3 neighborhood -> conservative seed
+        # min over 3x3 neighborhood -> conservative seed; where the window
+        # is depth-FLAT (range below the backoff) the surface is locally
+        # planar and a tight seed (small backoff) saves ~5 march steps per
+        # interior ray without overshoot risk
         dmin = jax.lax.reduce_window(
             depth_grid, jnp.inf, jax.lax.min, (3, 3), (1, 1), "SAME"
+        )
+        dmax = jax.lax.reduce_window(
+            jnp.where(jnp.isfinite(depth_grid), depth_grid, -jnp.inf),
+            -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME",
         )
         hit_any = jax.lax.reduce_window(
             hit_grid, False, jax.lax.bitwise_or, (3, 3), (1, 1), "SAME"
@@ -160,8 +167,10 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
             hit_strict, True, jax.lax.bitwise_and, (3, 3), (1, 1), "SAME"
         )
         up = lambda g: jnp.repeat(jnp.repeat(g, stride, axis=0), stride, axis=1)
+        flat = (dmax - dmin) < cfg.march.c2f_backoff
+        backoff = jnp.where(flat, 0.2 * cfg.march.c2f_backoff, cfg.march.c2f_backoff)
         seed_full = jnp.where(
-            jnp.isfinite(up(dmin)), up(dmin) - cfg.march.c2f_backoff, jnp.nan
+            jnp.isfinite(up(dmin)), up(dmin) - up(backoff), jnp.nan
         )
         hit_any_full = up(hit_any)
         hit_all_full = up(hit_all)
@@ -258,6 +267,13 @@ def render_rays(
         # f(z, o + d(z,o,v) v) == 0  =>  dd = -df / (grad_x f . v)
         denom = jnp.sum(_sg(g) * _sg(dirs), axis=-1)
         denom = jnp.minimum(denom, -cfg.grad.ift_min_denom)  # front-facing: < 0
+        # extra Newton refinements (stop-grad, frozen denominator) let a
+        # loose-eps bf16 march still land on the fp32 surface; the LAST
+        # step stays differentiable
+        for _ in range(max(cfg.grad.polish_iters - 1, 0)):
+            d0 = _sg(jnp.where(trace.hit, d0 - s / denom, d0))
+            p_surf = origins + jnp.where(trace.hit, d0, anchor)[:, None] * dirs
+            s = sdf_fn(latent, p_surf)
         depth = d0 - s / denom
     else:  # "last_step" (DIST default): one unit marching step
         depth = d0 + s

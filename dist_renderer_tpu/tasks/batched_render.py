@@ -34,6 +34,8 @@ def main(argv=None):
     ap.add_argument("--latents", type=int, default=16)
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--latent-noise", type=float, default=0.05)
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the multi-frame fused kernel (TPU)")
     args = ap.parse_args(argv)
 
     params, base_latent, dcfg = load_task_decoder(args)
@@ -58,18 +60,39 @@ def main(argv=None):
         mesh = make_mesh(("latents",))
         latents = jax.device_put(latents, NamedSharding(mesh, P("latents")))
 
-    @jax.jit
-    def render_batch(latents):
-        def one_latent(z):
-            mf = make_point_fn(params, z, dcfg, cfg.dtype)
+    if args.pallas:
+        # multi-frame fused kernel: (latent, view) pairs become frames
+        from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
 
-            def one_view(o, v):
-                out = render_rays(sdf_fn, z, o, v, cfg, mf)
-                return out.depth, out.mask
+        n_frames = args.latents * args.views
+        lat_frames = jnp.repeat(latents, args.views, axis=0)
+        o_frames = jnp.tile(origins, (args.latents, 1, 1))
+        v_frames = jnp.tile(dirs, (args.latents, 1, 1))
 
-            return jax.vmap(one_view)(origins, dirs)
+        @jax.jit
+        def render_batch(latents):
+            lat_f = jnp.repeat(latents, args.views, axis=0)
+            d, h, m = render_batched_c2f(
+                params, dcfg, lat_f, o_frames, v_frames,
+                (args.img, args.img), cfg.march,
+            )
+            return (
+                d.reshape(args.latents, args.views, -1),
+                h.reshape(args.latents, args.views, -1),
+            )
+    else:
+        @jax.jit
+        def render_batch(latents):
+            def one_latent(z):
+                mf = make_point_fn(params, z, dcfg, cfg.dtype)
 
-        return jax.vmap(one_latent)(latents)
+                def one_view(o, v):
+                    out = render_rays(sdf_fn, z, o, v, cfg, mf)
+                    return out.depth, out.mask
+
+                return jax.vmap(one_view)(origins, dirs)
+
+            return jax.vmap(one_latent)(latents)
 
     depth, mask = jax.tree_util.tree_map(
         jax.block_until_ready, render_batch(latents)
