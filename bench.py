@@ -80,11 +80,11 @@ def main():
         compute_dtype="bfloat16" if fast else "float32",
         use_pallas=fast and on_tpu,
     )
-    # differentiable path: true fp32 (TPU default matmul precision is one
-    # bf16 pass — not enough for 1e-3 parity); hot loop: folded bf16/Pallas
-    sdf_fn = lambda z, p: decoder_apply(
-        params, z, p, dcfg, precision=jax.lax.Precision.HIGH
-    )
+    # differentiable path: HIGH-precision value, default-precision grads
+    # (make_precise_sdf); hot loop: folded bf16/Pallas
+    from dist_renderer_tpu.models.decoder import make_precise_sdf
+
+    sdf_fn = make_precise_sdf(params, dcfg)
     factory = make_march_factory(params, dcfg, cfg) if fast else None
 
     cam = Camera.looking_at((0.0, 0.0, -2.5), focal=img * 1.2, img_hw=(img, img))

@@ -66,6 +66,24 @@ def _matmul(h: jax.Array, w: jax.Array, b: jax.Array, dtype,
     return out + b.astype(jnp.float32)
 
 
+def _matmul_split(h: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """fp32-accurate matmul from THREE default-precision bf16 dots
+    (hand-rolled bf16x3): y = xh@Wh + xh@Wl + xl@Wh with x = xh + xl,
+    W = Wh + Wl split at bf16 boundaries; the dropped xl@Wl term is
+    O(2^-16) relative. Used for the precise VALUE path because explicit
+    Precision.HIGH/HIGHEST dots crash the remote XLA fusion pass on this
+    deployment (docs/PERFORMANCE.md infra notes)."""
+    xh = h.astype(jnp.bfloat16)
+    xl = (h - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((h.ndim - 1,), (0,)), ((), ()))
+    dot = lambda a, bb: jax.lax.dot_general(
+        a, bb, dims, preferred_element_type=jnp.float32
+    )
+    return dot(xh, wh) + dot(xh, wl) + dot(xl, wh) + b.astype(jnp.float32)
+
+
 def decoder_apply(
     params: Params,
     latent: jax.Array,
@@ -100,7 +118,10 @@ def decoder_apply(
             h = jnp.concatenate([h, inp], axis=-1)
         elif cfg.xyz_in_all and 0 < i < n_layers - 1:
             h = jnp.concatenate([h, x], axis=-1)
-        h = _matmul(h, layer["w"], layer["b"], compute_dtype, precision)
+        if precision == "split":
+            h = _matmul_split(h, layer["w"], layer["b"])
+        else:
+            h = _matmul(h, layer["w"], layer["b"], compute_dtype, precision)
         if i == n_layers - 1:
             # DeepSDF "use_tanh": extra tanh on the final linear output
             # (DeepSDF's `layer == num_layers - 2` with num_layers = len(dims))
@@ -112,6 +133,39 @@ def decoder_apply(
     if cfg.final_tanh:
         sdf = jnp.tanh(sdf)
     return sdf.reshape(pts_shape)
+
+
+def make_precise_sdf(params: Params, cfg: DecoderConfig = DecoderConfig()):
+    """(latent, points) -> sdf with HIGH-precision VALUE and
+    default-precision GRADIENTS.
+
+    Rationale: on TPU, default matmul precision is a single bf16 pass
+    (~1e-3 relative error) — not enough for the depth-anchoring value that
+    carries the 1e-3 parity bar — but gradients feeding Adam tolerate it
+    fine. Keeping the backward at default precision also sidesteps a
+    remote-XLA fusion-pass crash observed with HIGH-precision transposed
+    dots (docs/PERFORMANCE.md, infra notes)."""
+
+    @jax.custom_vjp
+    def f(latent, points):
+        return decoder_apply(params, latent, points, cfg, precision="split")
+
+    def f_fwd(latent, points):
+        return f(latent, points), (latent, points)
+
+    def f_bwd(res, ct):
+        latent, points = res
+        # bf16 compute in the backward: gradient consumers (Adam, unit-
+        # normalized normals) tolerate ~1e-3 relative error, and bf16-input
+        # dots are the only ones this deployment's compiler never rejects
+        _, vjp = jax.vjp(
+            lambda z, p: decoder_apply(params, z, p, cfg, jnp.bfloat16),
+            latent, points,
+        )
+        return vjp(ct)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
 
 
 def decode_sdf(

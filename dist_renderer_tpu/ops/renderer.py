@@ -445,15 +445,14 @@ class SDFRenderer:
         self.cfg = dataclasses.replace(base, img_h=img_hw[0], img_w=img_hw[1])
         self.march_fn_factory = None
         if sdf_fn is None:
+            from dist_renderer_tpu.models.decoder import make_precise_sdf
+
             params = decoder_params
             dcfg = decoder_cfg
             dtype = self.cfg.dtype
-            # differentiable path: true-fp32 decoder (TPU default matmul
-            # precision is a single bf16 pass — not enough for the 1e-3
-            # parity bar); hot loop: folded bf16
-            sdf_fn = lambda z, p: decoder_apply(
-                params, z, p, dcfg, precision=jax.lax.Precision.HIGH
-            )
+            # differentiable path: HIGH-precision value, default-precision
+            # gradients (see make_precise_sdf); hot loop: folded bf16
+            sdf_fn = make_precise_sdf(params, dcfg)
             self.march_fn_factory = make_march_factory(params, dcfg, self.cfg)
         self.sdf_fn = sdf_fn
 

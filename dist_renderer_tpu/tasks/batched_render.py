@@ -40,7 +40,8 @@ def main(argv=None):
 
     params, base_latent, dcfg = load_task_decoder(args)
     cfg = make_render_cfg(args)
-    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+    from dist_renderer_tpu.models.decoder import make_precise_sdf
+    sdf_fn = make_precise_sdf(params, dcfg)
 
     cams = ring_cameras(args.img, args.views)
     rays = [pixel_rays(c, args.img, args.img) for c in cams]

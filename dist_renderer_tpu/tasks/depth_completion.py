@@ -44,7 +44,8 @@ def main(argv=None):
 
     params, gt_latent, dcfg = load_task_decoder(args)
     cfg = make_render_cfg(args)
-    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+    from dist_renderer_tpu.models.decoder import make_precise_sdf
+    sdf_fn = make_precise_sdf(params, dcfg)
     factory = lambda z: make_point_fn(params, z, dcfg, cfg.dtype)
     cam = default_camera(args.img)
 

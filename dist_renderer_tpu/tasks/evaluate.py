@@ -44,7 +44,9 @@ def main(argv=None):
     for i in range(args.instances):
         key, k1, k2, k3 = jax.random.split(key, 4)
         z = base_latent + args.latent_noise * jax.random.normal(k1, base_latent.shape)
-        pred_fn = lambda p: decoder_apply(params, z, p, dcfg)
+        from dist_renderer_tpu.models.decoder import make_precise_sdf
+        _psdf = make_precise_sdf(params, dcfg)
+        pred_fn = lambda p, _z=z: _psdf(_z, p)
 
         if args.mesh_based:
             from dist_renderer_tpu.eval.mesh import extract_mesh

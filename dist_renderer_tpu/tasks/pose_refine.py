@@ -45,7 +45,8 @@ def main(argv=None):
 
     params, latent, dcfg = load_task_decoder(args)
     cfg = make_render_cfg(args)
-    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+    from dist_renderer_tpu.models.decoder import make_precise_sdf
+    sdf_fn = make_precise_sdf(params, dcfg)
     march_fn = make_point_fn(params, latent, dcfg, cfg.dtype)
 
     # ground-truth camera and observation
