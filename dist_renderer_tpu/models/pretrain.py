@@ -81,7 +81,10 @@ def fit_decoder_to_sdf(
     opt = tx.init(params)
 
     def loss_fn(params, pts, tgt):
-        pred = decoder_apply(params, z0, pts, dcfg)
+        # bf16 compute: on TPU the default "fp32" matmul is a single bf16
+        # pass anyway, and explicit bf16 inputs avoid a remote-compiler
+        # crash on fp32-input dots (docs/PERFORMANCE.md infra notes)
+        pred = decoder_apply(params, z0, pts, dcfg, jnp.bfloat16)
         # clamp the TARGET only (DeepSDF's +-0.1 truncation); clamping the
         # prediction would zero the gradient wherever |pred| > clamp, which
         # is everywhere at a saturated-tanh init.

@@ -67,7 +67,7 @@ def train_deepsdf_analytic(
         # pts: [B, P, 3]; shape_idx: [B]
         def one(idx, p):
             z = state["latents"][idx]
-            pred = decoder_apply(state["params"], z, p, dcfg)
+            pred = decoder_apply(state["params"], z, p, dcfg, jnp.bfloat16)
             tgt = shape_sdf(idx, p)
             l = jnp.mean(jnp.abs(pred - jnp.clip(tgt, -clamp, clamp)))
             return l + latent_reg * jnp.sum(z**2)
@@ -142,7 +142,7 @@ def train_deepsdf_samples(
         def one(sidx, pidx):
             rows = bank[sidx][pidx]          # [P, 4]
             z = state["latents"][sidx]
-            pred = decoder_apply(state["params"], z, rows[:, :3], dcfg)
+            pred = decoder_apply(state["params"], z, rows[:, :3], dcfg, jnp.bfloat16)
             tgt = rows[:, 3]
             l = jnp.mean(
                 jnp.abs(
