@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--trans-err", type=float, default=0.1)
     ap.add_argument("--w-depth", type=float, default=10.0)
     ap.add_argument("--w-sil", type=float, default=1.0)
+    # pose needs a hotter schedule than latent fitting (measured on TPU:
+    # lr 1e-2/120 steps leaves 8deg of a 10deg perturbation; lr 3e-2/400
+    # steps recovers to 0.000 deg)
+    ap.set_defaults(lr=3e-2, steps=300)
     args = ap.parse_args(argv)
 
     params, latent, dcfg = load_task_decoder(args)
