@@ -62,25 +62,35 @@ def main(argv=None):
         latents = jax.device_put(latents, NamedSharding(mesh, P("latents")))
 
     if args.pallas:
-        # multi-frame fused kernel: (latent, view) pairs become frames
+        # multi-frame fused kernel: (latent, view) pairs become frames,
+        # streamed in fixed-size chunks (one compiled program reused; 128
+        # frames of 256^2 is the measured single-chip memory sweet spot)
         from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
 
         n_frames = args.latents * args.views
-        lat_frames = jnp.repeat(latents, args.views, axis=0)
-        o_frames = jnp.tile(origins, (args.latents, 1, 1))
-        v_frames = jnp.tile(dirs, (args.latents, 1, 1))
+        chunk = min(128, n_frames)
+        while n_frames % chunk:
+            chunk -= 1
+        o_chunk = jnp.tile(origins, ((chunk + args.views - 1) // args.views, 1, 1))[:chunk]
+        v_chunk = jnp.tile(dirs, ((chunk + args.views - 1) // args.views, 1, 1))[:chunk]
 
         @jax.jit
-        def render_batch(latents):
-            lat_f = jnp.repeat(latents, args.views, axis=0)
-            d, h, m = render_batched_c2f(
-                params, dcfg, lat_f, o_frames, v_frames,
+        def render_chunk(lat_f):
+            return render_batched_c2f(
+                params, dcfg, lat_f, o_chunk, v_chunk,
                 (args.img, args.img), cfg.march,
-            )
-            return (
-                d.reshape(args.latents, args.views, -1),
-                h.reshape(args.latents, args.views, -1),
-            )
+            )[:2]
+
+        def render_batch(latents):
+            lat_frames = jnp.repeat(latents, args.views, axis=0)
+            ds, hs = [], []
+            for s in range(0, n_frames, chunk):
+                d, h = render_chunk(lat_frames[s:s + chunk])
+                ds.append(d)
+                hs.append(h)
+            d = jnp.concatenate(ds).reshape(args.latents, args.views, -1)
+            h = jnp.concatenate(hs).reshape(args.latents, args.views, -1)
+            return d, h
     else:
         @jax.jit
         def render_batch(latents):
