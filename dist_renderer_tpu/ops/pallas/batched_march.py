@@ -189,11 +189,12 @@ def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int
             jnp.full((1, B), _POS_BIG, f32), jnp.full((1, B), _NEG_BIG, f32),
             jnp.full((1, B), _POS_BIG, f32), d,
             jnp.full((1, B), _POS_BIG, f32), zeros,
+            zeros,                               # exhausted-without-bracket
         )
 
         def march_one(c):
             (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-             last_f, steps) = c
+             last_f, steps, unres_f) = c
             act = act_f > 0.5
             p = o + d * v
             p8 = jnp.concatenate([p, jnp.zeros((5, B), f32)], axis=0)
@@ -232,8 +233,10 @@ def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int
             d = jnp.where(still, d_next, jnp.where(salvaged, 0.5 * (d_lo + d_hi), d))
             last_f = jnp.where(act, f, last_f)
             hit_f = jnp.maximum(hit_f, jnp.where(converged, 1.0, 0.0))
+            open_exh = act & ~converged & exhausted & ~bracketed
+            unres_f = jnp.maximum(unres_f, jnp.where(open_exh, 1.0, 0.0))
             return (d, jnp.where(still, 1.0, 0.0), hit_f, d_lo, f_lo, d_hi,
-                    f_hi, min_sdf, d_at_min, last_f, steps)
+                    f_hi, min_sdf, d_at_min, last_f, steps, unres_f)
 
         def loop_cond(kc):
             k, c = kc
@@ -245,9 +248,10 @@ def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int
 
         _, outc = jax.lax.while_loop(loop_cond, loop_body, (0, carry0))
         (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-         last_f, steps) = outc
+         last_f, steps, unres_f) = outc
         out_ref[:, :] = jnp.concatenate(
-            [d, hit_f, min_sdf, d_at_min, last_f, steps, act_f,
+            [d, hit_f, min_sdf, d_at_min, last_f, steps,
+             jnp.maximum(act_f, unres_f),    # unresolved at exit
              jnp.zeros((1, B), f32)],
             axis=0,
         )
@@ -468,9 +472,41 @@ def render_batched_c2f(
     take = lambda a, idx: jnp.take_along_axis(a, idx, axis=1)
     o_s = jnp.take_along_axis(origins, order[..., None], axis=1)
     v_s = jnp.take_along_axis(dirs, order[..., None], axis=1)
-    d, hit, msdf, _, _ = batched_trace(
-        o_s, v_s, march, take(init_depth, order), take(init_active, order)
+
+    # PHASE A (capped): most seeded/interior rays finish in a few secant
+    # steps; a block's residency is max-over-512-rays, so stragglers are
+    # cut off early and re-binned densely in phase B instead of holding
+    # whole blocks hostage for the full schedule.
+    phase_a_steps = max(min(march.max_steps, 2 * coarse_steps) // 2, 8)
+    march_a = _dc.replace(march, max_steps=phase_a_steps)
+    d, hit, msdf, dam, unres = batched_trace(
+        o_s, v_s, march_a, take(init_depth, order), take(init_active, order)
     )
+
+    # PHASE B: only the unresolved rays, sorted live-first per frame,
+    # continue from their phase-A positions with the remaining budget
+    # (+8: the bracket state does not carry across phases, so a restarted
+    # ray pays a few evals to re-bracket — without the bonus, rays that
+    # finished near the step cap in one phase lose their hits)
+    march_b = _dc.replace(
+        march,
+        max_steps=min(march.max_steps, march.max_steps - phase_a_steps + 8),
+    )
+    order_b = jnp.argsort(~unres, axis=1, stable=True)
+    inv_b = jnp.argsort(order_b, axis=1)
+    o_b = jnp.take_along_axis(o_s, order_b[..., None], axis=1)
+    v_b = jnp.take_along_axis(v_s, order_b[..., None], axis=1)
+    d2, hit2, msdf2, dam2, _ = batched_trace(
+        o_b, v_b, march_b, take(d, order_b), take(unres, order_b)
+    )
+    d2, hit2 = take(d2, inv_b), take(hit2, inv_b)
+    msdf2, dam2 = take(msdf2, inv_b), take(dam2, inv_b)
+
+    d = jnp.where(unres, d2, d)
+    hit = hit | hit2
+    dam = jnp.where(unres & (msdf2 < msdf), dam2, dam)
+    msdf = jnp.where(unres, jnp.minimum(msdf, msdf2), msdf)
+
     d, hit, msdf = take(d, inv), take(hit, inv), take(msdf, inv)
     # skip rays never marched: their silhouette margin is the coarse one
     msdf = jnp.where(skip, margin, msdf)

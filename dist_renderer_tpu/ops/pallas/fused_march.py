@@ -160,11 +160,12 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int):
             d,                                   # d_at_min
             jnp.full((1, B), _POS_BIG, f32),     # last_f
             zeros,                               # steps
+            zeros,                               # exhausted-without-bracket
         )
 
         def march_one(c):
             (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-             last_f, steps) = c
+             last_f, steps, unres_f) = c
             act = act_f > 0.5
             p = o + d * v                          # [3, B]
             p8 = jnp.concatenate([p, jnp.zeros((5, B), f32)], axis=0)
@@ -209,8 +210,10 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int):
             )
             last_f = jnp.where(act, f, last_f)
             hit_f = jnp.maximum(hit_f, jnp.where(converged, 1.0, 0.0))
+            open_exh = act & ~converged & exhausted & ~bracketed
+            unres_f = jnp.maximum(unres_f, jnp.where(open_exh, 1.0, 0.0))
             return (d, jnp.where(still, 1.0, 0.0), hit_f, d_lo, f_lo, d_hi,
-                    f_hi, min_sdf, d_at_min, last_f, steps)
+                    f_hi, min_sdf, d_at_min, last_f, steps, unres_f)
 
         # Genuine early exit: the while_loop ENDS when the block's rays are
         # all done — a fori_loop + cond still cycles max_steps iterations
@@ -226,7 +229,7 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int):
 
         _, out = jax.lax.while_loop(loop_cond, loop_body, (0, carry0))
         (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-         last_f, steps) = out
+         last_f, steps, unres_f) = out
 
         res = jnp.concatenate(
             [
@@ -236,7 +239,7 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int):
                 d_at_min,
                 last_f,
                 steps,
-                act_f,                              # unresolved at exit
+                jnp.maximum(act_f, unres_f),        # unresolved at exit
                 jnp.zeros((1, d.shape[1]), f32),
             ],
             axis=0,

@@ -71,6 +71,9 @@ class RayState(NamedTuple):
     d_at_min: jax.Array
     last_sdf: jax.Array
     steps: jax.Array        # per-ray step count
+    exhausted_open: jax.Array  # hit the per-ray step cap WITHOUT a bracket:
+                               # reported as a miss for rendering, but c2f /
+                               # phase-B re-binning must not trust the miss
 
 
 def _init_state(n: int, d0: jax.Array, active: jax.Array) -> RayState:
@@ -87,6 +90,7 @@ def _init_state(n: int, d0: jax.Array, active: jax.Array) -> RayState:
         d_at_min=d0.astype(f32),
         last_sdf=jnp.full((n,), _INF, f32),
         steps=jnp.zeros((n,), jnp.int32),
+        exhausted_open=jnp.zeros((n,), bool),
     )
 
 
@@ -155,6 +159,8 @@ def march_step(
         d_at_min=d_at_min,
         last_sdf=jnp.where(s.active, f, s.last_sdf),
         steps=steps,
+        exhausted_open=s.exhausted_open
+        | (s.active & ~converged & exhausted & ~bracketed),
     )
 
 
@@ -185,7 +191,7 @@ def _finalize(out: RayState, origins, dirs, march, enters, t_closest, steps_used
         last_sdf=out.last_sdf,
         steps_used=steps_used,
         live_counts=live_counts,
-        unresolved=out.active,
+        unresolved=out.active | out.exhausted_open,
     )
 
 
