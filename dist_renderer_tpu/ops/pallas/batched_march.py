@@ -362,6 +362,7 @@ def render_batched_c2f(
     coarse_steps: int = 24,
     strides: Tuple[int, ...] = (4,),
     interpret: bool = False,
+    two_phase: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
@@ -473,39 +474,47 @@ def render_batched_c2f(
     o_s = jnp.take_along_axis(origins, order[..., None], axis=1)
     v_s = jnp.take_along_axis(dirs, order[..., None], axis=1)
 
-    # PHASE A (capped): most seeded/interior rays finish in a few secant
-    # steps; a block's residency is max-over-512-rays, so stragglers are
-    # cut off early and re-binned densely in phase B instead of holding
-    # whole blocks hostage for the full schedule.
-    phase_a_steps = max(min(march.max_steps, 2 * coarse_steps) // 2, 8)
-    march_a = _dc.replace(march, max_steps=phase_a_steps)
-    d, hit, msdf, dam, unres = batched_trace(
-        o_s, v_s, march_a, take(init_depth, order), take(init_active, order)
-    )
+    if not two_phase:
+        d, hit, msdf, _, _ = batched_trace(
+            o_s, v_s, march, take(init_depth, order), take(init_active, order)
+        )
+    else:
+        # OPT-IN two-phase straggler re-binning. PHASE A (capped): most
+        # seeded/interior rays finish in a few secant steps; stragglers are
+        # cut off and re-binned densely in phase B instead of holding whole
+        # blocks for the full schedule. Measured on v5e at 512^2 x 8 frames
+        # this LOSES (3.6 vs 6.4 Mrays/s: extra sort + launch + restart
+        # evals outweigh the block-tail savings) — kept for workloads with
+        # heavier straggler tails (thin structures, grazing-dominated
+        # scenes).
+        phase_a_steps = max(min(march.max_steps, 2 * coarse_steps) // 2, 8)
+        march_a = _dc.replace(march, max_steps=phase_a_steps)
+        d, hit, msdf, dam, unres = batched_trace(
+            o_s, v_s, march_a, take(init_depth, order), take(init_active, order)
+        )
 
-    # PHASE B: only the unresolved rays, sorted live-first per frame,
-    # continue from their phase-A positions with the remaining budget
-    # (+8: the bracket state does not carry across phases, so a restarted
-    # ray pays a few evals to re-bracket — without the bonus, rays that
-    # finished near the step cap in one phase lose their hits)
-    march_b = _dc.replace(
-        march,
-        max_steps=min(march.max_steps, march.max_steps - phase_a_steps + 8),
-    )
-    order_b = jnp.argsort(~unres, axis=1, stable=True)
-    inv_b = jnp.argsort(order_b, axis=1)
-    o_b = jnp.take_along_axis(o_s, order_b[..., None], axis=1)
-    v_b = jnp.take_along_axis(v_s, order_b[..., None], axis=1)
-    d2, hit2, msdf2, dam2, _ = batched_trace(
-        o_b, v_b, march_b, take(d, order_b), take(unres, order_b)
-    )
-    d2, hit2 = take(d2, inv_b), take(hit2, inv_b)
-    msdf2, dam2 = take(msdf2, inv_b), take(dam2, inv_b)
+        # PHASE B: only the unresolved rays, sorted live-first per frame,
+        # continue from their phase-A positions with the remaining budget
+        # (+8: the bracket does not carry across phases; without the bonus,
+        # rays finishing near the cap lose their hits)
+        march_b = _dc.replace(
+            march,
+            max_steps=min(march.max_steps, march.max_steps - phase_a_steps + 8),
+        )
+        order_b = jnp.argsort(~unres, axis=1, stable=True)
+        inv_b = jnp.argsort(order_b, axis=1)
+        o_b = jnp.take_along_axis(o_s, order_b[..., None], axis=1)
+        v_b = jnp.take_along_axis(v_s, order_b[..., None], axis=1)
+        d2, hit2, msdf2, dam2, _ = batched_trace(
+            o_b, v_b, march_b, take(d, order_b), take(unres, order_b)
+        )
+        d2, hit2 = take(d2, inv_b), take(hit2, inv_b)
+        msdf2, dam2 = take(msdf2, inv_b), take(dam2, inv_b)
 
-    d = jnp.where(unres, d2, d)
-    hit = hit | hit2
-    dam = jnp.where(unres & (msdf2 < msdf), dam2, dam)
-    msdf = jnp.where(unres, jnp.minimum(msdf, msdf2), msdf)
+        d = jnp.where(unres, d2, d)
+        hit = hit | hit2
+        dam = jnp.where(unres & (msdf2 < msdf), dam2, dam)
+        msdf = jnp.where(unres, jnp.minimum(msdf, msdf2), msdf)
 
     d, hit, msdf = take(d, inv), take(hit, inv), take(msdf, inv)
     # skip rays never marched: their silhouette margin is the coarse one
