@@ -118,6 +118,41 @@ def render_views_sharded(
     return _shard(latent, origins, dirs)
 
 
+def trace_sharded_pallas(
+    packed,
+    origins: jax.Array,
+    dirs: jax.Array,
+    march,
+    mesh: Mesh,
+    ray_axis: str = "rays",
+    block: int = 512,
+    interpret: bool = False,
+):
+    """Multi-chip fused-kernel trace: each chip runs the Pallas persistent
+    march on its ray shard (communication-free — SURVEY.md §2: 'each chip
+    marches its ray shard; no cross-chip traffic during the march').
+
+    packed: ops.pallas.fused_march.PackedDecoder (weights replicate onto
+    every chip; 3.6 MB bf16). Returns (depth, hit, min_sdf) sharded over
+    `ray_axis`. interpret=True allows CPU-mesh testing."""
+    from dist_renderer_tpu.ops.pallas.fused_march import pallas_sphere_trace
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(ray_axis), P(ray_axis)),
+        out_specs=(P(ray_axis), P(ray_axis), P(ray_axis)),
+        check_vma=False,
+    )
+    def _shard(o, v):
+        r = pallas_sphere_trace(
+            packed, o, v, march, block=block, interpret=interpret
+        )
+        return r.depth, r.hit, r.min_sdf
+
+    return _shard(origins, dirs)
+
+
 def make_sharded_fit_step(
     sdf_fn: Callable,
     cfg: RenderConfig,
