@@ -19,14 +19,37 @@ Design (see SURVEY.md §7):
 
 from dist_renderer_tpu.config import (
     DecoderConfig,
+    GradConfig,
+    LossConfig,
     MarchConfig,
+    OptimConfig,
     RenderConfig,
 )
 from dist_renderer_tpu.models.decoder import (
     DeepSDFDecoder,
     decode_sdf,
+    decoder_apply,
+    make_precise_sdf,
+)
+from dist_renderer_tpu.models.checkpoint import (
+    load_decoder,
+    load_latent_codes,
+    save_deepsdf_experiment,
 )
 from dist_renderer_tpu.ops.camera import Camera
-from dist_renderer_tpu.ops.renderer import SDFRenderer, render
+from dist_renderer_tpu.ops.renderer import (
+    SDFRenderer,
+    SDFRendererColor,
+    make_march_factory,
+    render,
+    render_rays,
+)
 
 __version__ = "0.1.0"
+__all__ = [
+    "Camera", "DecoderConfig", "DeepSDFDecoder", "GradConfig", "LossConfig",
+    "MarchConfig", "OptimConfig", "RenderConfig", "SDFRenderer",
+    "SDFRendererColor", "decode_sdf", "decoder_apply", "load_decoder",
+    "load_latent_codes", "make_march_factory", "make_precise_sdf", "render",
+    "render_rays", "save_deepsdf_experiment",
+]
