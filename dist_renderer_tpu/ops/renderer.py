@@ -219,9 +219,6 @@ class RenderOutput(NamedTuple):
     trace: TraceResult     # raw march diagnostics (all stop-gradient)
 
 
-def _spatial_grad(sdf_fn, latent, points):
-    """d sdf / d x per point in one backward pass (sum trick)."""
-    return jax.grad(lambda p: jnp.sum(sdf_fn(latent, p)))(points)
 
 
 def render_rays(
