@@ -67,6 +67,31 @@ def test_batched_c2f_matches_plain(decoder):
     assert (np.asarray(msdf)[~np.asarray(h)] > -1e-3).all()
 
 
+def test_bias_bank_multi_tile_indexing(decoder):
+    """Frames beyond the first 128-frame bias tile must index correctly
+    (fb[i] // FRAME_TILE block selection + one-hot lane)."""
+    params, z0, dcfg = decoder
+    img = 8
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=10.0, img_hw=(img, img))
+    o, v = pixel_rays(cam, img, img)
+    f = 130  # spans two bias tiles
+    # frame 0 and frame 129 share a latent; frame 64 differs
+    lat = jnp.tile(z0[None], (f, 1))
+    lat = lat.at[64].set(z0 * 0.5)
+    origins = jnp.broadcast_to(o[None], (f,) + o.shape)
+    dirs = jnp.broadcast_to(v[None], (f,) + v.shape)
+    depth, hit = render_depth_batched(
+        params, dcfg, lat, origins, dirs, MARCH, block=64, interpret=True
+    )
+    d = np.asarray(depth)
+    h = np.asarray(hit)
+    # identical latents across the tile boundary -> identical renders
+    np.testing.assert_allclose(d[0], d[129], atol=1e-6)
+    assert (h[0] == h[129]).all()
+    # the odd frame out must differ
+    assert not np.allclose(d[0], d[64], atol=1e-4)
+
+
 def test_batched_matches_per_frame(decoder):
     params, z0, dcfg = decoder
     img = 16
