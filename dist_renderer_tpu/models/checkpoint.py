@@ -175,7 +175,7 @@ def save_deepsdf_experiment(
     if latents is not None:
         os.makedirs(os.path.join(experiment_dir, "LatentCodes"), exist_ok=True)
         torch.save(
-            {"latent_codes": {"weight": torch.from_numpy(np.asarray(latents))}},
+            {"latent_codes": {"weight": torch.from_numpy(np.array(latents))}},
             os.path.join(experiment_dir, "LatentCodes", f"{checkpoint}.pth"),
         )
 

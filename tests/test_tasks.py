@@ -56,6 +56,29 @@ def test_multiview_runs(tmp_path):
     assert h.min() <= h[0]
 
 
+def test_train_cli_exports_consumable_experiment(tmp_path):
+    """train CLI -> DeepSDF experiment dir -> render_demo --experiment-dir
+    (the reference's own consumption workflow)."""
+    from dist_renderer_tpu.tasks.train import main as train_main
+    from dist_renderer_tpu.tasks.render_demo import main as demo_main
+
+    exp = str(tmp_path / "exp")
+    h = train_main([
+        "--cpu", "--shapes", "sphere", "--steps", "120", "--points", "256",
+        "--decoder-width", "16", "--decoder-depth", "3",
+        "--latent-size", "4", "--out", exp,
+    ])
+    assert h[-30:].mean() < h[:30].mean()
+    out = str(tmp_path / "render")
+    demo_main([
+        "--cpu", "--experiment-dir", exp, "--img", "16",
+        "--march-steps", "24", "--out", out,
+    ])
+    import os
+
+    assert os.path.exists(os.path.join(out, "view00.png"))
+
+
 def test_batched_render_runs(capsys):
     from dist_renderer_tpu.tasks.batched_render import main
 
