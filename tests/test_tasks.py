@@ -44,6 +44,20 @@ def test_pose_refine_reduces_error(tmp_path):
     assert h[-1] < h[0]
 
 
+def test_pose_refine_rot6d_param(tmp_path):
+    """The continuous 6D rotation parameterization also recovers pose."""
+    from dist_renderer_tpu.tasks.pose_refine import main
+
+    res, rot_err, t_err = main(
+        TINY + ["--out", str(tmp_path), "--steps", "40", "--lr", "2e-2",
+                "--rot-err-deg", "6", "--trans-err", "0.05",
+                "--param", "rot6d"]
+    )
+    assert rot_err < 6.0
+    h = np.asarray(res.loss_history)
+    assert h[-1] < h[0]
+
+
 def test_multiview_runs(tmp_path):
     from dist_renderer_tpu.tasks.multiview import main
 
