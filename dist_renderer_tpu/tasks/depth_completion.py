@@ -2,11 +2,16 @@
 render matches one observed (partial) depth map (BASELINE.json config #2;
 SURVEY.md §3.3 call stack).
 
-With no dataset available the observation is synthesized by rendering a
-GROUND-TRUTH latent/shape, optionally masked to a partial view; the task
-then recovers shape from scratch exactly like the reference demo.
+Observation sources:
+  --data ROOT [--instance I]  read a real on-disk observation through
+      data.datasets.ShapeNetDepthDataset (depth.npy + mask + camera.json
+      [+ normalization.npz], the reference's depth-completion layout).
+  (default)  synthesize the observation by rendering a GROUND-TRUTH
+      latent/shape, optionally masked to a partial view; the task then
+      recovers shape from scratch exactly like the reference demo.
 
   python -m dist_renderer_tpu.tasks.depth_completion --img 128 --steps 150
+  python -m dist_renderer_tpu.tasks.depth_completion --data data/synth/depth
 """
 
 from __future__ import annotations
@@ -36,6 +41,11 @@ def main(argv=None):
     add_common_args(ap)
     ap.add_argument("--partial", type=float, default=0.5,
                     help="fraction of image columns observed (partial depth)")
+    ap.add_argument("--data", default=None,
+                    help="ShapeNet-depth dataset root (ShapeNetDepthDataset "
+                    "layout); omit to synthesize the observation")
+    ap.add_argument("--instance", type=int, default=0,
+                    help="dataset instance index (with --data)")
     ap.add_argument("--w-depth", type=float, default=10.0)
     ap.add_argument("--w-sil", type=float, default=1.0)
     ap.add_argument("--w-reg", type=float, default=1e-4)
@@ -43,19 +53,41 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     params, gt_latent, dcfg = load_task_decoder(args)
-    cfg = make_render_cfg(args)
     from dist_renderer_tpu.models.decoder import make_precise_sdf
     sdf_fn = make_precise_sdf(params, dcfg)
-    factory = lambda z: make_point_fn(params, z, dcfg, cfg.dtype)
-    cam = default_camera(args.img)
 
-    # synthesize the observation from the GT latent; mask to a partial strip
-    gt = render(sdf_fn, gt_latent, cam, cfg, factory)
-    w_obs = int(args.img * args.partial)
-    col_mask = jnp.arange(args.img) < w_obs
-    obs_valid = gt.mask & col_mask[None, :]
-    obs_depth = jnp.where(obs_valid, gt.depth, 0.0)
-    obs_mask = gt.mask & col_mask[None, :]  # silhouette supervision only where seen
+    gt = None
+    if args.data:
+        # real observed data through the REAL loader (SURVEY.md §3.3 starts
+        # from observed data; no synthetic fallback on this path)
+        import dataclasses
+
+        from dist_renderer_tpu.data.datasets import ShapeNetDepthDataset
+
+        obs = ShapeNetDepthDataset(args.data)[args.instance]
+        h, w = obs.depth.shape
+        args.img = h
+        cfg = make_render_cfg(args)
+        cfg = dataclasses.replace(cfg, img_h=h, img_w=w)
+        factory = lambda z: make_point_fn(params, z, dcfg, cfg.dtype)
+        cam = obs.camera
+        obs_depth = jnp.asarray(obs.depth)
+        obs_valid = jnp.asarray(obs.valid)
+        obs_mask = jnp.asarray(obs.mask)
+        col_mask = jnp.ones((w,), bool)
+        print(f"observation: {obs.name} ({h}x{w}, "
+              f"{int(obs_valid.sum())} valid depth px) from {args.data}")
+    else:
+        cfg = make_render_cfg(args)
+        factory = lambda z: make_point_fn(params, z, dcfg, cfg.dtype)
+        cam = default_camera(args.img)
+        # synthesize the observation from the GT latent; mask to a partial strip
+        gt = render(sdf_fn, gt_latent, cam, cfg, factory)
+        w_obs = int(args.img * args.partial)
+        col_mask = jnp.arange(args.img) < w_obs
+        obs_valid = gt.mask & col_mask[None, :]
+        obs_depth = jnp.where(obs_valid, gt.depth, 0.0)
+        obs_mask = gt.mask & col_mask[None, :]  # silhouette supervision only where seen
 
     os.makedirs(args.out, exist_ok=True)
     logger = MetricsLogger(os.path.join(args.out, "metrics.csv"))
@@ -96,11 +128,17 @@ def main(argv=None):
 
     out = render(sdf_fn, res.variables, cam, cfg, factory)
     save_render_panel(os.path.join(args.out, "final.png"), out, obs_depth)
-    # quality: full-image depth error vs the (hidden) complete GT
-    err = float(L.depth_loss(out.depth, gt.depth, gt.mask, out.mask))
-    lat_err = float(jnp.linalg.norm(res.variables - gt_latent))
-    print(f"final: loss {float(res.loss_history[-1]):.5f}  "
-          f"full-depth L1 {err:.5f}  |z - z_gt| {lat_err:.4f}")
+    if gt is not None:
+        # quality: full-image depth error vs the (hidden) complete GT
+        err = float(L.depth_loss(out.depth, gt.depth, gt.mask, out.mask))
+        lat_err = float(jnp.linalg.norm(res.variables - gt_latent))
+        print(f"final: loss {float(res.loss_history[-1]):.5f}  "
+              f"full-depth L1 {err:.5f}  |z - z_gt| {lat_err:.4f}")
+    else:
+        # real data: no hidden GT — report fit on the observed region
+        err = float(L.depth_loss(out.depth, obs_depth, obs_valid, out.mask))
+        print(f"final: loss {float(res.loss_history[-1]):.5f}  "
+              f"observed-depth L1 {err:.5f}")
     logger.close()
     return res
 

@@ -6,7 +6,14 @@ Views are vmapped on-chip; with multiple devices the view axis shards via
 the parallel layer instead (SURVEY.md §2 parallelism table, 'view
 parallel').
 
+Observation sources:
+  --data ROOT [--instance I]  read real images/masks/cameras through
+      data.datasets.PMOMultiViewDataset (the PMO-style on-disk layout).
+  (default)  synthesize observations by texturing the GT shape with a
+      fixed random color decoder.
+
   python -m dist_renderer_tpu.tasks.multiview --img 128 --views 8
+  python -m dist_renderer_tpu.tasks.multiview --data data/synth/multiview
 """
 
 from __future__ import annotations
@@ -37,41 +44,67 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     add_common_args(ap)
     ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--data", default=None,
+                    help="PMO-style multi-view dataset root "
+                    "(PMOMultiViewDataset layout); omit to synthesize")
+    ap.add_argument("--instance", type=int, default=0,
+                    help="dataset instance index (with --data)")
     ap.add_argument("--w-sil", type=float, default=1.0)
     ap.add_argument("--w-photo", type=float, default=1.0)
     ap.add_argument("--w-reg", type=float, default=1e-4)
     args = ap.parse_args(argv)
 
     params, gt_latent, dcfg = load_task_decoder(args)
-    cfg = make_render_cfg(args)
     from dist_renderer_tpu.models.decoder import make_precise_sdf
     sdf_fn = make_precise_sdf(params, dcfg)
-    factory = lambda z: make_point_fn(params, z, dcfg, cfg.dtype)
 
-    cams = ring_cameras(args.img, args.views)
+    if args.data:
+        # real observed images/masks/cameras via the REAL loader
+        # (SURVEY.md §3.4's call stack starts from observed data)
+        import dataclasses
+
+        from dist_renderer_tpu.data.datasets import PMOMultiViewDataset
+
+        mv = PMOMultiViewDataset(args.data)[args.instance]
+        args.views = mv.images.shape[0]
+        h, w = mv.images.shape[1:3]
+        args.img = h
+        cfg = make_render_cfg(args)
+        cfg = dataclasses.replace(cfg, img_h=h, img_w=w)
+        cams = mv.cameras
+        gt_imgs = jnp.asarray(mv.images.reshape(args.views, h * w, 3))
+        obs_masks = jnp.asarray(mv.masks.reshape(args.views, h * w))
+        print(f"observation: {mv.name} ({args.views} views, {h}x{w}) "
+              f"from {args.data}")
+    else:
+        cfg = make_render_cfg(args)
+        cams = ring_cameras(args.img, args.views)
+        gt_imgs = obs_masks = None
+
+    factory = lambda z: make_point_fn(params, z, dcfg, cfg.dtype)
     cam_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
-    rays = [pixel_rays(c, args.img, args.img) for c in cams]
+    rays = [pixel_rays(c, cfg.img_h, cfg.img_w) for c in cams]
     origins = jnp.stack([r[0] for r in rays])  # [V, N, 3]
     dirs = jnp.stack([r[1] for r in rays])
-
-    # synthesize observations: GT masks + GT images (textured via a fixed
-    # random color decoder so photometric consistency has signal)
-    ccfg = make_color_config(latent_size=dcfg.latent_size,
-                             hidden_dims=(64,) * 4, latent_in=())
-    cparams = init_color_params(jax.random.PRNGKey(7), ccfg)
-    color_fn = lambda zc, p: color_apply(cparams, zc, p, ccfg)
-    z_color = jnp.zeros((dcfg.latent_size,))
 
     def render_view(z, o, v):
         return render_rays(sdf_fn, z, o, v, cfg, factory(z))
 
-    gt_out = jax.vmap(lambda o, v: render_view(gt_latent, o, v))(origins, dirs)
-    gt_imgs = jax.vmap(lambda pts, m: jnp.where(
-        m[:, None], color_fn(z_color, pts), 0.0
-    ))(gt_out.points, gt_out.mask)  # [V, N, 3]
-    obs_masks = gt_out.mask  # [V, N]
+    if gt_imgs is None:
+        # synthesize observations: GT masks + GT images (textured via a
+        # fixed random color decoder so photometric consistency has signal)
+        ccfg = make_color_config(latent_size=dcfg.latent_size,
+                                 hidden_dims=(64,) * 4, latent_in=())
+        cparams = init_color_params(jax.random.PRNGKey(7), ccfg)
+        color_fn = lambda zc, p: color_apply(cparams, zc, p, ccfg)
+        z_color = jnp.zeros((dcfg.latent_size,))
+        gt_out = jax.vmap(lambda o, v: render_view(gt_latent, o, v))(origins, dirs)
+        gt_imgs = jax.vmap(lambda pts, m: jnp.where(
+            m[:, None], color_fn(z_color, pts), 0.0
+        ))(gt_out.points, gt_out.mask)  # [V, N, 3]
+        obs_masks = gt_out.mask  # [V, N]
 
-    hw = (args.img, args.img)
+    hw = (cfg.img_h, cfg.img_w)
     os.makedirs(args.out, exist_ok=True)
     logger = MetricsLogger(os.path.join(args.out, "metrics.csv"))
 
@@ -108,8 +141,16 @@ def main(argv=None):
     imgs = [colorize_depth(out.depth[i].reshape(hw), out.mask[i].reshape(hw))
             for i in range(min(args.views, 4))]
     save_image(os.path.join(args.out, "final_views.png"), panel(imgs))
-    lat_err = float(jnp.linalg.norm(res.variables - gt_latent))
-    print(f"final: loss {float(res.loss_history[-1]):.5f}  |z - z_gt| {lat_err:.4f}")
+    if args.data:
+        # no GT latent for real data: report silhouette agreement (IoU)
+        iou = jnp.mean(jax.vmap(
+            lambda m, g: jnp.sum(m & g) / jnp.maximum(jnp.sum(m | g), 1)
+        )(out.mask, obs_masks))
+        print(f"final: loss {float(res.loss_history[-1]):.5f}  "
+              f"mask IoU {float(iou):.4f}")
+    else:
+        lat_err = float(jnp.linalg.norm(res.variables - gt_latent))
+        print(f"final: loss {float(res.loss_history[-1]):.5f}  |z - z_gt| {lat_err:.4f}")
     logger.close()
     return res
 
