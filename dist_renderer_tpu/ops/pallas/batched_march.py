@@ -341,11 +341,55 @@ def pallas_sphere_trace_batched(
     geo_margin = jnp.linalg.norm(p_closest, axis=-1) - march.sphere_radius
     min_sdf = jnp.where(enters, min_sdf, geo_margin)
     min_sdf = jnp.where(min_sdf > _POS_BIG / 2, geo_margin, min_sdf)
+    from dist_renderer_tpu.ops.tracer import live_counts_from_steps
+
+    steps_i = out[5].astype(jnp.int32)
     return TraceResult(
         depth=d, hit=hit, min_sdf=min_sdf, depth_at_min=out[3],
-        last_sdf=out[4], steps_used=jnp.max(out[5]).astype(jnp.int32),
-        live_counts=jnp.zeros((march.max_steps,), jnp.int32),
+        last_sdf=out[4], steps_used=jnp.max(steps_i),
+        live_counts=live_counts_from_steps(steps_i, march.max_steps),
         unresolved=out[6] > 0.5,
+        steps_per_ray=steps_i,
+    )
+
+
+def batched_trace_padded(
+    shared: SharedDecoder,
+    bank: jax.Array,
+    o: jax.Array,                  # [F, R, 3]
+    v: jax.Array,                  # [F, R, 3]
+    march: MarchConfig,
+    seed: Optional[jax.Array],     # [F, R] or None
+    active: jax.Array,             # [F, R] bool
+    block: int = 512,
+    interpret: bool = False,
+) -> TraceResult:
+    """Frame-major multi-frame trace with per-frame padding to the kernel
+    block size. Returns a TraceResult whose per-ray fields are [F, R]
+    (padding trimmed). Shared by render_batched_c2f and the shard_map
+    wrapper in parallel/sharding.py."""
+    f, r = o.shape[0], o.shape[1]
+    r_pad = _round_up(max(r, block), block)
+    pad = r_pad - r
+    o_p = jnp.pad(o, ((0, 0), (0, pad), (0, 0))).reshape(-1, 3)
+    v_p = jnp.pad(v, ((0, 0), (0, pad), (0, 0)), constant_values=1.0).reshape(-1, 3)
+    s_p = None
+    if seed is not None:
+        s_p = jnp.pad(seed, ((0, 0), (0, pad)), constant_values=jnp.nan).reshape(-1)
+    a = jnp.pad(active, ((0, 0), (0, pad))).reshape(-1)
+    frame_of_ray = jnp.repeat(jnp.arange(f, dtype=jnp.int32), r_pad)
+    res = pallas_sphere_trace_batched(
+        shared, bank, frame_of_ray, o_p, v_p, march, s_p,
+        init_active=a, block=block, interpret=interpret,
+    )
+    unflat = lambda x: x.reshape(f, r_pad)[:, :r]
+    return TraceResult(
+        depth=unflat(res.depth), hit=unflat(res.hit),
+        min_sdf=unflat(res.min_sdf), depth_at_min=unflat(res.depth_at_min),
+        last_sdf=unflat(res.last_sdf), steps_used=res.steps_used,
+        live_counts=res.live_counts, unresolved=unflat(res.unresolved),
+        steps_per_ray=res.steps_per_ray,   # kept PADDED+BLOCKED: residency
+                                           # telemetry needs kernel layout
     )
 
 
@@ -363,13 +407,17 @@ def render_batched_c2f(
     strides: Tuple[int, ...] = (4,),
     interpret: bool = False,
     two_phase: bool = False,
+    with_diag: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
     through the multi-frame fused kernel; sorting is per frame so blocks
     stay frame-pure AND work-homogeneous.
 
-    Returns (depth [F, N], hit [F, N], min_sdf [F, N])."""
+    Returns (depth [F, N], hit [F, N], min_sdf [F, N]); with_diag=True
+    appends a dict of straggler telemetry: per-kernel-block march
+    residency (max steps over the block's rays — what the block actually
+    pays) and per-ray step counts for each phase."""
     import dataclasses as _dc
 
     f = origins.shape[0]
@@ -380,28 +428,22 @@ def render_batched_c2f(
     coarse_march = _dc.replace(
         march, max_steps=min(march.max_steps, coarse_steps)
     )
+    diag = {}
 
-    def batched_trace(o, v, m, seed, active):
-        """o/v [F, R, 3] -> TraceResult over flat [F*R_pad] rays."""
-        r = o.shape[1]
-        r_pad = _round_up(max(r, block), block)
-        pad = r_pad - r
-        o_p = jnp.pad(o, ((0, 0), (0, pad), (0, 0))).reshape(-1, 3)
-        v_p = jnp.pad(v, ((0, 0), (0, pad), (0, 0)), constant_values=1.0).reshape(-1, 3)
-        s_p = None
-        if seed is not None:
-            s_p = jnp.pad(seed, ((0, 0), (0, pad)), constant_values=jnp.nan).reshape(-1)
-        a = jnp.pad(active, ((0, 0), (0, pad))).reshape(-1)
-        frame_of_ray = jnp.repeat(jnp.arange(f, dtype=jnp.int32), r_pad)
-        res = pallas_sphere_trace_batched(
-            shared, bank, frame_of_ray, o_p, v_p, m, s_p,
-            init_active=a, block=block, interpret=interpret,
+    def batched_trace(o, v, m, seed, active, tag=None):
+        """o/v [F, R, 3] -> per-ray fields, each [F, R]."""
+        res = batched_trace_padded(
+            shared, bank, o, v, m, seed, active, block, interpret
         )
-        unflat = lambda x: x.reshape(f, r_pad)[:, :r]
-        return (
-            unflat(res.depth), unflat(res.hit), unflat(res.min_sdf),
-            unflat(res.depth_at_min), unflat(res.unresolved),
-        )
+        if with_diag and tag:
+            r_pad = res.steps_per_ray.shape[0] // f
+            diag[f"{tag}_block_residency"] = res.steps_per_ray.reshape(
+                -1, block
+            ).max(axis=1)
+            diag[f"{tag}_ray_steps"] = res.steps_per_ray.reshape(
+                f, r_pad
+            )[:, :o.shape[1]]
+        return res.depth, res.hit, res.min_sdf, res.depth_at_min, res.unresolved
 
     o_g = origins.reshape(f, h, w, 3)
     v_g = dirs.reshape(f, h, w, 3)
@@ -427,7 +469,7 @@ def render_batched_c2f(
                 anchor_full[:, ::stride, ::stride].reshape(f, -1),
             )
         d, hit, msdf, dam, unres = batched_trace(
-            o_l, v_l, coarse_march, seed, active
+            o_l, v_l, coarse_march, seed, active, tag=f"coarse{stride}"
         )
         seedable = hit | unres
         depth_grid = jnp.where(seedable, d, jnp.inf).reshape(f, hh, ww)
@@ -452,9 +494,9 @@ def render_batched_c2f(
 
     if seed_full is None:  # no valid strides: plain batched march
         d, hit, msdf, _, _ = batched_trace(
-            origins, dirs, march, None, jnp.ones((f, n), bool)
+            origins, dirs, march, None, jnp.ones((f, n), bool), tag="fine"
         )
-        return d, hit, msdf
+        return (d, hit, msdf, diag) if with_diag else (d, hit, msdf)
 
     seed = seed_full.reshape(f, n)
     hit_any = hit_any_full.reshape(f, n)
@@ -476,7 +518,8 @@ def render_batched_c2f(
 
     if not two_phase:
         d, hit, msdf, _, _ = batched_trace(
-            o_s, v_s, march, take(init_depth, order), take(init_active, order)
+            o_s, v_s, march, take(init_depth, order), take(init_active, order),
+            tag="fine",
         )
     else:
         # OPT-IN two-phase straggler re-binning. PHASE A (capped): most
@@ -490,7 +533,8 @@ def render_batched_c2f(
         phase_a_steps = max(min(march.max_steps, 2 * coarse_steps) // 2, 8)
         march_a = _dc.replace(march, max_steps=phase_a_steps)
         d, hit, msdf, dam, unres = batched_trace(
-            o_s, v_s, march_a, take(init_depth, order), take(init_active, order)
+            o_s, v_s, march_a, take(init_depth, order), take(init_active, order),
+            tag="phaseA",
         )
 
         # PHASE B: only the unresolved rays, sorted live-first per frame,
@@ -506,7 +550,8 @@ def render_batched_c2f(
         o_b = jnp.take_along_axis(o_s, order_b[..., None], axis=1)
         v_b = jnp.take_along_axis(v_s, order_b[..., None], axis=1)
         d2, hit2, msdf2, dam2, _ = batched_trace(
-            o_b, v_b, march_b, take(d, order_b), take(unres, order_b)
+            o_b, v_b, march_b, take(d, order_b), take(unres, order_b),
+            tag="phaseB",
         )
         d2, hit2 = take(d2, inv_b), take(hit2, inv_b)
         msdf2, dam2 = take(msdf2, inv_b), take(dam2, inv_b)
@@ -519,7 +564,7 @@ def render_batched_c2f(
     d, hit, msdf = take(d, inv), take(hit, inv), take(msdf, inv)
     # skip rays never marched: their silhouette margin is the coarse one
     msdf = jnp.where(skip, margin, msdf)
-    return d, hit, msdf
+    return (d, hit, msdf, diag) if with_diag else (d, hit, msdf)
 
 
 def render_depth_batched(

@@ -337,15 +337,19 @@ def pallas_sphere_trace(
     min_sdf = jnp.where(enters, min_sdf, geo_margin)
     min_sdf = jnp.where(min_sdf > _POS_BIG / 2, geo_margin, min_sdf)
 
+    from dist_renderer_tpu.ops.tracer import live_counts_from_steps
+
+    steps_i = steps.astype(jnp.int32)
     return TraceResult(
         depth=d,
         hit=hit,
         min_sdf=min_sdf,
         depth_at_min=d_at_min,
         last_sdf=last_f,
-        steps_used=jnp.max(steps).astype(jnp.int32),
-        live_counts=jnp.zeros((march.max_steps,), jnp.int32),
+        steps_used=jnp.max(steps_i),
+        live_counts=live_counts_from_steps(steps_i, march.max_steps),
         unresolved=unresolved,
+        steps_per_ray=steps_i,
     )
 
 

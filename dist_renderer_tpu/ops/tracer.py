@@ -53,6 +53,20 @@ class TraceResult(NamedTuple):
     unresolved: jax.Array   # bool: still live when the step budget ended
                             # (neither hit nor miss — used by c2f so a
                             # step-capped coarse ray never causes a skip)
+    steps_per_ray: Optional[jax.Array] = None  # [N] int32 march steps each
+                            # ray executed — block-residency/straggler
+                            # telemetry (SURVEY.md §5 'Tracing/profiling')
+
+
+def live_counts_from_steps(steps_per_ray: jax.Array, max_steps: int) -> jax.Array:
+    """Derive per-step live-ray telemetry from final per-ray step counts:
+    live_counts[k] = #rays active at the start of step k+1 = #{i: steps_i > k}.
+    Restores the masked tracer's live_counts semantics on the fused Pallas
+    paths, where counting inside the kernel would cost a carry."""
+    s = jnp.clip(steps_per_ray.astype(jnp.int32), 0, max_steps)
+    hist = jnp.zeros((max_steps + 1,), jnp.int32).at[s].add(1)
+    c = jnp.cumsum(hist)
+    return (c[-1] - c[:-1]).astype(jnp.int32)
 
 
 class RayState(NamedTuple):
@@ -192,6 +206,7 @@ def _finalize(out: RayState, origins, dirs, march, enters, t_closest, steps_used
         steps_used=steps_used,
         live_counts=live_counts,
         unresolved=out.active | out.exhausted_open,
+        steps_per_ray=out.steps,
     )
 
 

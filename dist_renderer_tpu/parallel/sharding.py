@@ -41,14 +41,21 @@ def render_frame_sharded(
 ):
     """Render one frame with pixels sharded across `ray_axis`.
 
-    H*W must divide evenly by the axis size (use image sizes that are
-    multiples of the mesh — 256/512 squares always are)."""
+    Ray counts that don't divide the axis size are padded with dummy rays
+    (marched like any other, trimmed from the output) — arbitrary image
+    sizes work on any mesh."""
+    from dist_renderer_tpu.parallel.mesh import pad_to_multiple
+
     n_shards = mesh.shape[ray_axis]
     n_rays = cfg.img_h * cfg.img_w
-    if n_rays % n_shards:
-        raise ValueError(f"{n_rays} rays not divisible by {n_shards} shards")
 
     origins, dirs = pixel_rays(camera, cfg.img_h, cfg.img_w)
+    n_padded = pad_to_multiple(n_rays, n_shards)
+    if n_padded != n_rays:
+        pad = n_padded - n_rays
+        origins = jnp.pad(origins, ((0, pad), (0, 0)))
+        # unit-ish dummy direction: padding rays march harmlessly
+        dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
 
     @functools.partial(
         shard_map,
@@ -68,12 +75,13 @@ def render_frame_sharded(
 
     out = _shard(latent, origins, dirs)
     hw = (cfg.img_h, cfg.img_w)
+    trim = lambda a: a[:n_rays]
     return RenderOutput(
-        depth=out.depth.reshape(hw),
-        mask=out.mask.reshape(hw),
-        normal=out.normal.reshape(hw + (3,)),
-        min_sdf=out.min_sdf.reshape(hw),
-        points=out.points.reshape(hw + (3,)),
+        depth=trim(out.depth).reshape(hw),
+        mask=trim(out.mask).reshape(hw),
+        normal=trim(out.normal).reshape(hw + (3,)),
+        min_sdf=trim(out.min_sdf).reshape(hw),
+        points=trim(out.points).reshape(hw + (3,)),
         trace=None,
     )
 
@@ -151,6 +159,163 @@ def trace_sharded_pallas(
         return r.depth, r.hit, r.min_sdf
 
     return _shard(origins, dirs)
+
+
+def render_batched_c2f_sharded(
+    params,
+    dcfg,
+    latents: jax.Array,            # [F, L]
+    origins: jax.Array,            # [F, H*W, 3] row-major pixel rays
+    dirs: jax.Array,               # [F, H*W, 3]
+    img_hw: Tuple[int, int],
+    march,
+    mesh: Mesh,
+    frame_axis: str = "latents",
+    ray_axis: str = "rays",
+    block: int = 512,
+    stride: int = 4,
+    coarse_steps: int = 24,
+    backoff: float = 0.05,
+    interpret: bool = False,
+):
+    """Config-#5 flagship at scale: the multi-frame fused kernel composed
+    with shard_map over a 2-D mesh (SURVEY.md §2 parallelism table row 3:
+    '1k latents x 16 views sharded over latents x rays').
+
+    Layout: frames shard over `frame_axis` (independent bias-bank columns
+    — pure data parallel, weights replicate); each frame's rays shard over
+    `ray_axis` as horizontal image BANDS. The c2f classification needs each
+    coarse cell's 3x3 neighborhood, so bands exchange ONE boundary coarse
+    row with their neighbors via `lax.ppermute` (the only communication —
+    a few KB per step, rides ICI), making the sharded plan EXACTLY equal
+    to the single-device plan: window reductions use the received halo
+    rows in-band and the reduction identities (inf/False/True) at true
+    image edges, which reproduces SAME-padding truncation bitwise. The
+    march itself is communication-free per ray.
+
+    Restrictions: single coarse level (this `stride`), H divisible by
+    stride * mesh[ray_axis]. Returns (depth, hit, min_sdf), each [F, H*W].
+    """
+    import dataclasses as _dc
+
+    from dist_renderer_tpu.ops.pallas.batched_march import (
+        batched_trace_padded, fold_bias_bank, pack_shared,
+    )
+
+    h, w = img_hw
+    n_rb = mesh.shape[ray_axis]
+    n_fb = mesh.shape[frame_axis]
+    if latents.shape[0] % n_fb:
+        raise ValueError(f"{latents.shape[0]} frames not divisible by {n_fb}")
+    if h % (stride * n_rb) or w % stride:
+        raise ValueError(
+            f"image {h}x{w} not divisible by stride {stride} x {n_rb} ray shards"
+        )
+    h_loc = h // n_rb
+    hc, wc = h_loc // stride, w // stride
+    shared = pack_shared(params, dcfg)
+    coarse_march = _dc.replace(march, max_steps=min(march.max_steps, coarse_steps))
+
+    def _halo_rows(grid, neutral_top, neutral_bot):
+        """grid [F_loc, hc, wc] -> (top_halo, bot_halo) [F_loc, wc]:
+        neighbor boundary rows via ppermute; reduction identities at the
+        true image edges (shard 0's top / shard k-1's bottom)."""
+        k = n_rb
+        idx = jax.lax.axis_index(ray_axis)
+        # my LAST row -> next shard's top halo
+        from_prev = jax.lax.ppermute(
+            grid[:, -1, :], ray_axis, [(i, i + 1) for i in range(k - 1)]
+        )
+        # my FIRST row -> previous shard's bottom halo
+        from_next = jax.lax.ppermute(
+            grid[:, 0, :], ray_axis, [(i + 1, i) for i in range(k - 1)]
+        )
+        top = jnp.where(idx == 0, neutral_top, from_prev)
+        bot = jnp.where(idx == k - 1, neutral_bot, from_next)
+        return top, bot
+
+    def _windows(grid, op, neutral):
+        """3x3 window reduce over [F_loc, hc, wc] with halo rows on the
+        band axis and identity padding on the lane axis (== SAME)."""
+        top, bot = _halo_rows(grid, neutral, neutral)
+        ext = jnp.concatenate([top[:, None, :], grid, bot[:, None, :]], axis=1)
+        return jax.lax.reduce_window(
+            ext, neutral, op, (1, 3, 3), (1, 1, 1),
+            padding=((0, 0), (0, 0), (1, 1)),
+        )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(frame_axis),
+            P(frame_axis, ray_axis), P(frame_axis, ray_axis),
+        ),
+        out_specs=(
+            P(frame_axis, ray_axis), P(frame_axis, ray_axis),
+            P(frame_axis, ray_axis),
+        ),
+        check_vma=False,
+    )
+    def _shard(lat, o, v):
+        f_loc = lat.shape[0]
+        bank = fold_bias_bank(params, lat, dcfg, shared)
+        o_g = o.reshape(f_loc, h_loc, w, 3)
+        v_g = v.reshape(f_loc, h_loc, w, 3)
+        o_c = o_g[:, ::stride, ::stride].reshape(f_loc, -1, 3)
+        v_c = v_g[:, ::stride, ::stride].reshape(f_loc, -1, 3)
+
+        res_c = batched_trace_padded(
+            shared, bank, o_c, v_c, coarse_march, None,
+            jnp.ones(o_c.shape[:2], bool), block, interpret,
+        )
+        seedable = res_c.hit | res_c.unresolved
+        depth_grid = jnp.where(seedable, res_c.depth, jnp.inf).reshape(
+            f_loc, hc, wc
+        )
+        hitish = seedable.reshape(f_loc, hc, wc)
+        strict = res_c.hit.reshape(f_loc, hc, wc)
+
+        dmin = _windows(depth_grid, jax.lax.min, jnp.inf)
+        dmax = _windows(
+            jnp.where(jnp.isfinite(depth_grid), depth_grid, -jnp.inf),
+            jax.lax.max, -jnp.inf,
+        )
+        hit_any = _windows(hitish, jax.lax.bitwise_or, False)
+        hit_all = _windows(strict, jax.lax.bitwise_and, True)
+
+        up = lambda g: jnp.repeat(jnp.repeat(g, stride, 1), stride, 2)
+        bo = jnp.where((dmax - dmin) < backoff, 0.2 * backoff, backoff)
+        seed = jnp.where(jnp.isfinite(up(dmin)), up(dmin) - up(bo), jnp.nan)
+        hit_any_f = up(hit_any).reshape(f_loc, -1)
+        hit_all_f = up(hit_all).reshape(f_loc, -1)
+        anchor = up(res_c.depth_at_min.reshape(f_loc, hc, wc)).reshape(f_loc, -1)
+        margin = up(res_c.min_sdf.reshape(f_loc, hc, wc)).reshape(f_loc, -1)
+        seed = seed.reshape(f_loc, -1)
+
+        skip = ~hit_any_f
+        init_depth = jnp.where(skip, anchor, seed)
+        init_active = ~skip
+        rim = hit_any_f & ~hit_all_f
+        key = jnp.where(rim, 0, jnp.where(hit_all_f, 1, 2)).astype(jnp.int32)
+        order = jnp.argsort(key, axis=1, stable=True)
+        inv = jnp.argsort(order, axis=1)
+        take = lambda a, idx: jnp.take_along_axis(a, idx, axis=1)
+
+        res = batched_trace_padded(
+            shared, bank,
+            jnp.take_along_axis(o, order[..., None], axis=1),
+            jnp.take_along_axis(v, order[..., None], axis=1),
+            march, take(init_depth, order), take(init_active, order),
+            block, interpret,
+        )
+        d = take(res.depth, inv)
+        hit = take(res.hit, inv)
+        msdf = take(res.min_sdf, inv)
+        msdf = jnp.where(skip, margin, msdf)
+        return d, hit, msdf
+
+    return _shard(latents, origins, dirs)
 
 
 def make_sharded_fit_step(

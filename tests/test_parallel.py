@@ -51,6 +51,21 @@ def test_sharded_render_matches_single_device():
     )
 
 
+def test_sharded_render_pads_non_divisible_sizes():
+    """18x18 = 324 rays on 8 shards: padded, trimmed, still exact."""
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=24.0, img_hw=(18, 18))
+    cfg = RenderConfig(img_h=18, img_w=18, march=MARCH)
+    f = latent_sphere_sdf()
+    z = jnp.array([0.5])
+
+    ref = render(f, z, cam, cfg)
+    out = render_frame_sharded(f, z, cam, cfg, make_mesh(("rays",)))
+    np.testing.assert_allclose(
+        np.asarray(out.depth), np.asarray(ref.depth), atol=1e-5
+    )
+    assert (np.asarray(out.mask) == np.asarray(ref.mask)).all()
+
+
 def test_view_sharded_render_matches_vmap():
     from dist_renderer_tpu.ops.renderer import render_rays
     from dist_renderer_tpu.parallel.sharding import render_views_sharded
@@ -74,37 +89,11 @@ def test_view_sharded_render_matches_vmap():
     np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref), atol=1e-5)
 
 
-def test_shard_map_composes_with_pallas_kernel():
-    """The fused march kernel runs under shard_map (per-chip ray shards,
-    zero communication) — validated in interpret mode on the fake mesh."""
-    from dist_renderer_tpu.config import DecoderConfig
-    from dist_renderer_tpu.models.folded import fold_latent, make_point_fn
-    from dist_renderer_tpu.models.pretrain import fit_decoder_to_sdf
-    from dist_renderer_tpu.models.analytic import sphere_sdf
-    from dist_renderer_tpu.ops.pallas.fused_march import pack_folded
-    from dist_renderer_tpu.ops.tracer import sphere_trace
-    from dist_renderer_tpu.parallel.sharding import trace_sharded_pallas
-
-    dcfg = DecoderConfig(latent_size=8, hidden_dims=(32,) * 4, latent_in=(2,))
-    params, z0 = fit_decoder_to_sdf(
-        lambda p: sphere_sdf(0.5)(None, p), dcfg, steps=200, batch=512
-    )
-    img = 32
-    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(img, img))
-    o, v = pixel_rays(cam, img, img)
-    mesh = make_mesh(("rays",))
-    march = MarchConfig(max_steps=32)
-
-    depth, hit, msdf = jax.jit(
-        lambda o, v: trace_sharded_pallas(
-            pack_folded(fold_latent(params, z0, dcfg), dcfg),
-            o, v, march, mesh, block=128, interpret=True,
-        )
-    )(o, v)
-    ref = sphere_trace(make_point_fn(params, z0, dcfg), o, v, march)
-    agree = (np.asarray(hit) == np.asarray(ref.hit)).mean()
-    assert agree > 0.93  # interpret bf16 kernel vs fp32 tracer, rim drift
-    assert int(hit.sum()) > 0
+# The fused-kernel x shard_map composition and its parity bar (p95 depth
+# error after fp32 polish, rim-confined hit disagreement) live in
+# tests/test_parallel_batched.py::test_sharded_pallas_parity_bar, which
+# replaced the loose hit-agreement assertion that used to sit here
+# (VERDICT r1 weak #2).
 
 
 def test_sharded_fit_step_reduces_loss():

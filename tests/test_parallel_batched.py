@@ -1,0 +1,149 @@
+"""Batched multi-frame kernel x shard_map (VERDICT r1 items 5+6):
+the config-#5 flagship path runs on the fake 8-device mesh, matches the
+single-device batched renderer EXACTLY (halo exchange makes the sharded
+c2f plan identical), and holds the proper parity bar vs the fp32 tracer
+(p95 depth error after fp32 polish, disagreement confined to rim)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dist_renderer_tpu.config import DecoderConfig, MarchConfig
+from dist_renderer_tpu.models.analytic import sphere_sdf, torus_sdf
+from dist_renderer_tpu.models.folded import make_point_fn
+from dist_renderer_tpu.models.pretrain import fit_decoder_to_sdf
+from dist_renderer_tpu.ops.camera import Camera, pixel_rays
+from dist_renderer_tpu.parallel.mesh import make_mesh
+
+MARCH = MarchConfig(max_steps=40, convergence_eps=2e-3, depth_eps=5e-4)
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    dcfg = DecoderConfig(latent_size=8, hidden_dims=(32,) * 4, latent_in=(2,))
+    params, z0 = fit_decoder_to_sdf(
+        lambda p: torus_sdf(0.55, 0.2)(None, p), dcfg, steps=300, batch=1024
+    )
+    return params, z0, dcfg
+
+
+def _rays(img, n_frames):
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=img * 1.2, img_hw=(img, img))
+    o, v = pixel_rays(cam, img, img)
+    ob = jnp.broadcast_to(o[None], (n_frames,) + o.shape)
+    vb = jnp.broadcast_to(v[None], (n_frames,) + v.shape)
+    return ob, vb
+
+
+def test_sharded_batched_matches_single_device(decoder):
+    """2-D mesh (frames x ray-bands): the ppermute halo exchange makes the
+    sharded c2f plan equal to the single-device plan, so per-ray outputs
+    agree to float tolerance."""
+    from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
+    from dist_renderer_tpu.parallel.sharding import render_batched_c2f_sharded
+
+    params, z0, dcfg = decoder
+    img, F = 32, 4
+    latents = jnp.stack([z0] * F) + 0.02 * jax.random.normal(
+        jax.random.PRNGKey(3), (F, dcfg.latent_size)
+    )
+    ob, vb = _rays(img, F)
+    mesh = make_mesh(("latents", "rays"), (2, 4))
+
+    d_ref, hit_ref, msdf_ref = jax.jit(
+        lambda l, o, v: render_batched_c2f(
+            params, dcfg, l, o, v, (img, img), MARCH,
+            strides=(4,), coarse_steps=16, interpret=True,
+        )
+    )(latents, ob, vb)
+    d_sh, hit_sh, msdf_sh = jax.jit(
+        lambda l, o, v: render_batched_c2f_sharded(
+            params, dcfg, l, o, v, (img, img), MARCH, mesh,
+            stride=4, coarse_steps=16, interpret=True,
+        )
+    )(latents, ob, vb)
+
+    assert (np.asarray(hit_sh) == np.asarray(hit_ref)).all()
+    np.testing.assert_allclose(
+        np.asarray(d_sh), np.asarray(d_ref), atol=1e-6,
+        err_msg="sharded batched depth != single-device batched depth",
+    )
+    np.testing.assert_allclose(
+        np.asarray(msdf_sh), np.asarray(msdf_ref), atol=1e-6
+    )
+    assert int(np.asarray(hit_sh).sum()) > 100  # scene actually visible
+
+
+def _newton_polish(point_fn, o, v, d, iters=2):
+    """fp32 Newton refinement of hit depths (what the renderer's IFT
+    recompute does): d <- d - f(p) / <grad f, v>."""
+    def f_sum(p):
+        return jnp.sum(point_fn(p))
+
+    for _ in range(iters):
+        p = o + d[:, None] * v
+        f = point_fn(p)
+        g = jax.grad(f_sum)(p)
+        denom = jnp.minimum(jnp.sum(g * v, axis=-1), -1e-2)
+        d = d - f / denom
+    return d
+
+
+def test_sharded_pallas_parity_bar(decoder):
+    """Tightened parity (replaces the loose hit-agreement bar, VERDICT r1
+    weak #2): on rays where both the sharded fused kernel and the fp32
+    masked tracer hit, p95 |depth error| <= 1e-3 AFTER the fp32 Newton
+    polish; hit-mask disagreement confined to rim pixels (within 1 px of
+    the fp32 silhouette boundary) and quantified."""
+    from dist_renderer_tpu.models.folded import fold_latent
+    from dist_renderer_tpu.ops.pallas.fused_march import pack_folded
+    from dist_renderer_tpu.ops.tracer import sphere_trace
+    from dist_renderer_tpu.parallel.sharding import trace_sharded_pallas
+
+    params, z0, dcfg = decoder
+    img = 32
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=img * 1.2, img_hw=(img, img))
+    o, v = pixel_rays(cam, img, img)
+    mesh = make_mesh(("rays",))
+
+    depth_k, hit_k, _ = jax.jit(
+        lambda o, v: trace_sharded_pallas(
+            pack_folded(fold_latent(params, z0, dcfg), dcfg),
+            o, v, MARCH, mesh, block=128, interpret=True,
+        )
+    )(o, v)
+    point_fn = make_point_fn(params, z0, dcfg)  # fp32
+    ref = sphere_trace(point_fn, o, v, MARCH)
+
+    hit_k = np.asarray(hit_k)
+    hit_r = np.asarray(ref.hit)
+    both = hit_k & hit_r
+    assert both.sum() > 100
+
+    d_k = np.asarray(_newton_polish(point_fn, o, v, depth_k))
+    d_r = np.asarray(_newton_polish(point_fn, o, v, ref.depth))
+    err = np.abs(d_k - d_r)[both]
+    assert np.percentile(err, 95) <= 1e-3, (
+        f"p95 depth err {np.percentile(err, 95):.2e} > 1e-3 on "
+        f"{both.sum()} both-hit rays"
+    )
+
+    # disagreement must be rim-confined: within 1 px of the fp32 boundary
+    hit_img = hit_r.reshape(img, img)
+    dil = jax.lax.reduce_window(
+        jnp.asarray(hit_img), False, jax.lax.bitwise_or, (3, 3), (1, 1), "SAME"
+    )
+    ero = jax.lax.reduce_window(
+        jnp.asarray(hit_img), True, jax.lax.bitwise_and, (3, 3), (1, 1), "SAME"
+    )
+    rim = np.asarray(dil) & ~np.asarray(ero)
+    disagree = (hit_k != hit_r).reshape(img, img)
+    off_rim = disagree & ~rim
+    assert off_rim.sum() == 0, (
+        f"{off_rim.sum()} hit disagreements OFF the rim "
+        f"(total disagree {disagree.sum()}, rim size {rim.sum()})"
+    )
+    # and quantified: rim disagreement is a small minority of the rim
+    assert disagree.sum() <= 0.5 * rim.sum()
