@@ -149,7 +149,8 @@ def main():
             ob = jnp.broadcast_to(origins[None], (F,) + origins.shape)
             vb = jnp.broadcast_to(dirs[None], (F,) + dirs.shape)
             fb = jax.jit(lambda l, o, v: render_batched_c2f(
-                params, dcfg, l, o, v, (img, img), cfg.march))
+                params, dcfg, l, o, v, (img, img), cfg.march,
+                shared_origin=True))  # pinhole: one origin per frame
             jax.block_until_ready(fb(lat_b, ob, vb)[0])
             t0 = time.perf_counter()
             for _ in range(3):

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from dist_renderer_tpu.config import DecoderConfig, MarchConfig
 from dist_renderer_tpu.models.decoder import Params
 from dist_renderer_tpu.models.folded import FoldedLayer, fold_latent
+from dist_renderer_tpu.ops.binning import counting_sort_perm
 from dist_renderer_tpu.ops.camera import ray_sphere_entry
 from dist_renderer_tpu.ops.pallas.fused_march import (
     _NEG_BIG, _POS_BIG, _round_up,
@@ -106,7 +107,8 @@ def fold_bias_bank(
     return bank.T                            # [total, F_pad]
 
 
-def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int):
+def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int,
+                       salvage: bool = True):
     eps = march.convergence_eps
     deps = march.depth_eps
     alpha = march.alpha
@@ -225,7 +227,13 @@ def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int
             exhausted = steps >= float(max_steps)
             escaped = (~bracketed) & ((d_next > far) | (d_next < near - margin))
             missed = act & ~converged & (escaped | exhausted)
-            salvaged = act & ~converged & exhausted & bracketed
+            if salvage:
+                # final march: accept the bracket midpoint on exhaustion
+                salvaged = act & ~converged & exhausted & bracketed
+            else:
+                # step-capped round: bracketed-but-unconverged rays REQUEUE
+                # (midpoint depth at a small cap can be off by width/2)
+                salvaged = jnp.zeros_like(act)
             missed = missed & ~salvaged
             converged = converged | salvaged
 
@@ -233,7 +241,9 @@ def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int
             d = jnp.where(still, d_next, jnp.where(salvaged, 0.5 * (d_lo + d_hi), d))
             last_f = jnp.where(act, f, last_f)
             hit_f = jnp.maximum(hit_f, jnp.where(converged, 1.0, 0.0))
-            open_exh = act & ~converged & exhausted & ~bracketed
+            open_exh = act & ~converged & exhausted & (
+                jnp.ones_like(act) if not salvage else ~bracketed
+            )
             unres_f = jnp.maximum(unres_f, jnp.where(open_exh, 1.0, 0.0))
             return (d, jnp.where(still, 1.0, 0.0), hit_f, d_lo, f_lo, d_hi,
                     f_hi, min_sdf, d_at_min, last_f, steps, unres_f)
@@ -270,10 +280,13 @@ def pallas_sphere_trace_batched(
     init_active: Optional[jax.Array] = None,
     block: int = 512,
     interpret: bool = False,
+    salvage: bool = True,
 ) -> TraceResult:
     """Multi-frame fused trace. N must be a multiple of `block` and each
     block's rays must belong to ONE frame (frame-major layout with
-    per-frame padding to the block size)."""
+    per-frame padding to the block size). salvage=False marks
+    bracketed-but-unconverged rays at the step cap as unresolved (for
+    requeue in a later round) instead of accepting the bracket midpoint."""
     n = origins.shape[0]
     if n % block:
         raise ValueError(f"ray count {n} not a multiple of block {block}")
@@ -304,7 +317,7 @@ def pallas_sphere_trace_batched(
         if wx is not None:
             weights.append(wx)
 
-    kernel = _make_multi_kernel(shared, march, march.max_steps)
+    kernel = _make_multi_kernel(shared, march, march.max_steps, salvage)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -363,6 +376,7 @@ def batched_trace_padded(
     active: jax.Array,             # [F, R] bool
     block: int = 512,
     interpret: bool = False,
+    salvage: bool = True,
 ) -> TraceResult:
     """Frame-major multi-frame trace with per-frame padding to the kernel
     block size. Returns a TraceResult whose per-ray fields are [F, R]
@@ -380,7 +394,7 @@ def batched_trace_padded(
     frame_of_ray = jnp.repeat(jnp.arange(f, dtype=jnp.int32), r_pad)
     res = pallas_sphere_trace_batched(
         shared, bank, frame_of_ray, o_p, v_p, march, s_p,
-        init_active=a, block=block, interpret=interpret,
+        init_active=a, block=block, interpret=interpret, salvage=salvage,
     )
     unflat = lambda x: x.reshape(f, r_pad)[:, :r]
     return TraceResult(
@@ -391,6 +405,136 @@ def batched_trace_padded(
         steps_per_ray=res.steps_per_ray,   # kept PADDED+BLOCKED: residency
                                            # telemetry needs kernel layout
     )
+
+
+def fine_march_rounds(
+    shared: SharedDecoder,
+    bank: jax.Array,
+    origins: jax.Array,            # [F, N, 3] or [F, 1, 3] (shared origin)
+    dirs: jax.Array,               # [F, N, 3]
+    key: jax.Array,                # [F, N] int32: 0 rim / 1 interior / 2 skip
+    init_depth: jax.Array,         # [F, N] seed (NaN = start at sphere entry)
+    march: MarchConfig,
+    block: int = 512,
+    round_caps: Tuple[int, ...] = (4, 12),
+    interpret: bool = False,
+    diag: Optional[dict] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Multi-round straggler-rebinned fine march; outputs in PIXEL order.
+
+    Why rounds: block residency is the MAX over a block's 512 rays, so a
+    few 30-50-step stragglers hold class-sorted blocks at ~16 steps where
+    the ray mean is ~4 (scripts/diag_binning.py). Each round caps every
+    live ray at round_caps[i] steps (no midpoint salvage); survivors are
+    re-packed densely and continue; the last round gets the full budget.
+    Simulated residency on recorded true step counts: 16451 (one round) ->
+    9258 (caps 4,12) at 512^2.
+
+    Why lax.sort with payloads: TPU gathers cost ~20 ms per [8,262k]
+    take_along_axis (scripts/diag_glue.py) — the round-1 implementation
+    spent ~100 ms/launch on argsort+gather glue. A multi-operand lax.sort
+    moves key+payloads together at ~19 ms total, and the final unsort is
+    one sort keyed on the carried pixel index.
+
+    Why buckets: re-packed survivors fill the leading columns, so later
+    rounds march a STATIC slice (n/4, then n/8) — fewer dead blocks (one
+    dead 512-lane block still costs ~4.4 us of launch). If survivors ever
+    overflow the final bucket (never at measured 3.4% live; the slice has
+    4-8x headroom), a lax.cond falls back to a full-width final round, so
+    correctness never depends on the straggler fraction.
+    """
+    import dataclasses as _dc
+
+    f, n = key.shape
+    f32 = jnp.float32
+    shared_origin = origins.shape[1] == 1
+
+    def sort_by(k, payloads):
+        out = jax.lax.sort((k,) + tuple(payloads), dimension=1,
+                           num_keys=1, is_stable=True)
+        return out[0], list(out[1:])
+
+    pix = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (f, n))
+    o_pay = [] if shared_origin else [origins[..., i] for i in range(3)]
+    key_s, pays = sort_by(
+        key, [dirs[..., 0], dirs[..., 1], dirs[..., 2], init_depth, pix] + o_pay
+    )
+    v_s = jnp.stack(pays[0:3], axis=-1)
+    d = pays[3]
+    pix_s = pays[4]
+    o_s = origins if shared_origin else jnp.stack(pays[5:8], axis=-1)
+    live = key_s != 2
+    hit_f = jnp.zeros((f, n), f32)
+    msdf = jnp.full((f, n), jnp.inf, f32)
+
+    def o_slice(r):
+        if shared_origin:
+            return jnp.broadcast_to(o_s, (f, r, 3))
+        return o_s[:, :r]
+
+    def run_round(ri, r, m, salvage, d, live, hit_f, msdf):
+        """March the first r columns (current order); merge into full."""
+        res = batched_trace_padded(
+            shared, bank, o_slice(r), v_s[:, :r], m,
+            d[:, :r], live[:, :r], block, interpret, salvage,
+        )
+        if diag is not None:
+            diag[f"fine_r{ri}_block_residency"] = res.steps_per_ray.reshape(
+                -1, block).max(axis=1)
+        was = live[:, :r]
+        upd = lambda full, part: full.at[:, :r].set(
+            jnp.where(was, part, full[:, :r]))
+        d = upd(d, res.depth)
+        hit_f = upd(hit_f, jnp.maximum(hit_f[:, :r], res.hit.astype(f32)))
+        msdf = upd(msdf, jnp.minimum(msdf[:, :r], res.min_sdf))
+        live = upd(live, res.unresolved)
+        return d, live, hit_f, msdf
+
+    def repack():
+        """Live-first re-pack of all per-ray state (one payload sort)."""
+        nonlocal v_s, d, hit_f, msdf, pix_s, o_s, live
+        k2 = (~live).astype(jnp.int32)
+        k2_s, pays = sort_by(k2, [v_s[..., 0], v_s[..., 1], v_s[..., 2],
+                                  d, hit_f, msdf, pix_s] + (
+            [] if shared_origin else
+            [o_s[..., 0], o_s[..., 1], o_s[..., 2]]))
+        v_s = jnp.stack(pays[0:3], axis=-1)
+        d, hit_f, msdf, pix_s = pays[3], pays[4], pays[5], pays[6]
+        if not shared_origin:
+            o_s = jnp.stack(pays[7:10], axis=-1)
+        live = k2_s == 0  # live-first prefix in the new order
+
+    caps = tuple(round_caps)
+    for ri, cap in enumerate(caps):
+        m = _dc.replace(march, max_steps=min(cap, march.max_steps))
+        if ri > 0:
+            repack()
+            bucket = min(_round_up(max(n // 4, block), block), n)
+        else:
+            bucket = n
+        d, live, hit_f, msdf = run_round(ri, bucket, m, False,
+                                         d, live, hit_f, msdf)
+
+    # FINAL round: full remaining budget; bucketed with overflow fallback
+    repack()
+    bucket = min(_round_up(max(n // 8, block), block), n)
+
+    if bucket >= n:
+        d, live, hit_f, msdf = run_round(len(caps), n, march, True,
+                                         d, live, hit_f, msdf)
+    else:
+        max_live = jnp.max(jnp.sum(live, axis=1))
+        state = (d, live, hit_f, msdf)
+        d, live, hit_f, msdf = jax.lax.cond(
+            max_live > bucket,
+            lambda s: run_round(len(caps), n, march, True, *s),
+            lambda s: run_round(len(caps), bucket, march, True, *s),
+            state,
+        )
+
+    # one unsort back to pixel order, results as payloads
+    _, outs = sort_by(pix_s, [d, hit_f, msdf])
+    return outs[0], outs[1] > 0.5, outs[2]
 
 
 def render_batched_c2f(
@@ -406,7 +550,8 @@ def render_batched_c2f(
     coarse_steps: int = 24,
     strides: Tuple[int, ...] = (4,),
     interpret: bool = False,
-    two_phase: bool = False,
+    round_caps: Tuple[int, ...] = (4, 12),
+    shared_origin: bool = False,
     with_diag: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
@@ -430,10 +575,10 @@ def render_batched_c2f(
     )
     diag = {}
 
-    def batched_trace(o, v, m, seed, active, tag=None):
+    def batched_trace(o, v, m, seed, active, tag=None, salvage=True):
         """o/v [F, R, 3] -> per-ray fields, each [F, R]."""
         res = batched_trace_padded(
-            shared, bank, o, v, m, seed, active, block, interpret
+            shared, bank, o, v, m, seed, active, block, interpret, salvage
         )
         if with_diag and tag:
             r_pad = res.steps_per_ray.shape[0] // f
@@ -491,6 +636,7 @@ def render_batched_c2f(
         hit_all_full = up(hit_all)
         anchor_full = up(dam.reshape(f, hh, ww))
         margin_full = up(msdf.reshape(f, hh, ww))
+        width_full = up(jnp.where(jnp.isfinite(dmax - dmin), dmax - dmin, jnp.inf))
 
     if seed_full is None:  # no valid strides: plain batched march
         d, hit, msdf, _, _ = batched_trace(
@@ -506,62 +652,19 @@ def render_batched_c2f(
 
     skip = ~hit_any
     init_depth = jnp.where(skip, anchor, seed)
-    init_active = ~skip
     rim = hit_any & ~hit_all
     key = jnp.where(rim, 0, jnp.where(hit_all, 1, 2)).astype(jnp.int32)
-    order = jnp.argsort(key, axis=1, stable=True)        # per-frame sort
-    inv = jnp.argsort(order, axis=1)
+    if with_diag:
+        diag["plan_key"] = key
+        diag["plan_width"] = width_full.reshape(f, n)
+        diag["plan_seed"] = seed
 
-    take = lambda a, idx: jnp.take_along_axis(a, idx, axis=1)
-    o_s = jnp.take_along_axis(origins, order[..., None], axis=1)
-    v_s = jnp.take_along_axis(dirs, order[..., None], axis=1)
-
-    if not two_phase:
-        d, hit, msdf, _, _ = batched_trace(
-            o_s, v_s, march, take(init_depth, order), take(init_active, order),
-            tag="fine",
-        )
-    else:
-        # OPT-IN two-phase straggler re-binning. PHASE A (capped): most
-        # seeded/interior rays finish in a few secant steps; stragglers are
-        # cut off and re-binned densely in phase B instead of holding whole
-        # blocks for the full schedule. Measured on v5e at 512^2 x 8 frames
-        # this LOSES (3.6 vs 6.4 Mrays/s: extra sort + launch + restart
-        # evals outweigh the block-tail savings) — kept for workloads with
-        # heavier straggler tails (thin structures, grazing-dominated
-        # scenes).
-        phase_a_steps = max(min(march.max_steps, 2 * coarse_steps) // 2, 8)
-        march_a = _dc.replace(march, max_steps=phase_a_steps)
-        d, hit, msdf, dam, unres = batched_trace(
-            o_s, v_s, march_a, take(init_depth, order), take(init_active, order),
-            tag="phaseA",
-        )
-
-        # PHASE B: only the unresolved rays, sorted live-first per frame,
-        # continue from their phase-A positions with the remaining budget
-        # (+8: the bracket does not carry across phases; without the bonus,
-        # rays finishing near the cap lose their hits)
-        march_b = _dc.replace(
-            march,
-            max_steps=min(march.max_steps, march.max_steps - phase_a_steps + 8),
-        )
-        order_b = jnp.argsort(~unres, axis=1, stable=True)
-        inv_b = jnp.argsort(order_b, axis=1)
-        o_b = jnp.take_along_axis(o_s, order_b[..., None], axis=1)
-        v_b = jnp.take_along_axis(v_s, order_b[..., None], axis=1)
-        d2, hit2, msdf2, dam2, _ = batched_trace(
-            o_b, v_b, march_b, take(d, order_b), take(unres, order_b),
-            tag="phaseB",
-        )
-        d2, hit2 = take(d2, inv_b), take(hit2, inv_b)
-        msdf2, dam2 = take(msdf2, inv_b), take(dam2, inv_b)
-
-        d = jnp.where(unres, d2, d)
-        hit = hit | hit2
-        dam = jnp.where(unres & (msdf2 < msdf), dam2, dam)
-        msdf = jnp.where(unres, jnp.minimum(msdf, msdf2), msdf)
-
-    d, hit, msdf = take(d, inv), take(hit, inv), take(msdf, inv)
+    o_in = origins[:, :1, :] if shared_origin else origins
+    d, hit, msdf = fine_march_rounds(
+        shared, bank, o_in, dirs, key, init_depth, march,
+        block=block, round_caps=round_caps, interpret=interpret,
+        diag=diag if with_diag else None,
+    )
     # skip rays never marched: their silhouette margin is the coarse one
     msdf = jnp.where(skip, margin, msdf)
     return (d, hit, msdf, diag) if with_diag else (d, hit, msdf)

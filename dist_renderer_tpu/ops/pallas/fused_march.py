@@ -122,7 +122,8 @@ def _mlp(p8, weights: List[jax.Array], layout, final_tanh: bool):
     return sdf
 
 
-def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int):
+def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int,
+                 salvage: bool = True):
     eps = march.convergence_eps
     deps = march.depth_eps
     alpha = march.alpha
@@ -200,7 +201,12 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int):
             exhausted = steps >= float(max_steps)
             escaped = (~bracketed) & ((d_next > far) | (d_next < near - margin))
             missed = act & ~converged & (escaped | exhausted)
-            salvaged = act & ~converged & exhausted & bracketed
+            if salvage:
+                # final round: accept the bracket midpoint on exhaustion
+                salvaged = act & ~converged & exhausted & bracketed
+            else:
+                # step-capped round: bracketed-but-unconverged rays REQUEUE
+                salvaged = jnp.zeros_like(act)
             missed = missed & ~salvaged
             converged = converged | salvaged
 
@@ -210,7 +216,9 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int):
             )
             last_f = jnp.where(act, f, last_f)
             hit_f = jnp.maximum(hit_f, jnp.where(converged, 1.0, 0.0))
-            open_exh = act & ~converged & exhausted & ~bracketed
+            open_exh = act & ~converged & exhausted & (
+                jnp.ones_like(act) if not salvage else ~bracketed
+            )
             unres_f = jnp.maximum(unres_f, jnp.where(open_exh, 1.0, 0.0))
             return (d, jnp.where(still, 1.0, 0.0), hit_f, d_lo, f_lo, d_hi,
                     f_hi, min_sdf, d_at_min, last_f, steps, unres_f)
@@ -270,10 +278,13 @@ def pallas_sphere_trace(
     block: int = 512,
     interpret: bool = False,
     init_active: Optional[jax.Array] = None,
+    salvage: bool = True,
 ) -> TraceResult:
     """Full sphere trace as one fused Pallas kernel. Drop-in for
-    ops.tracer.sphere_trace (same TraceResult semantics; live_counts
-    telemetry unavailable inside the fused kernel — returns zeros)."""
+    ops.tracer.sphere_trace (same TraceResult semantics; live-ray
+    telemetry derived from per-ray step counts). salvage=False marks
+    bracketed-but-unconverged rays at the step cap as unresolved for a
+    later requeue round instead of accepting the bracket midpoint."""
     n = origins.shape[0]
     n_pad = _round_up(max(n, block), block)
 
@@ -308,7 +319,8 @@ def pallas_sphere_trace(
     ]
 
     grid = (n_pad // block,)
-    kernel = _make_kernel(layout, packed.final_tanh, march, march.max_steps)
+    kernel = _make_kernel(layout, packed.final_tanh, march, march.max_steps,
+                          salvage)
 
     out = pl.pallas_call(
         kernel,
@@ -353,22 +365,138 @@ def pallas_sphere_trace(
     )
 
 
+def pallas_sphere_trace_two_round(
+    packed: PackedDecoder,
+    origins: jax.Array,
+    dirs: jax.Array,
+    march: MarchConfig,
+    init_depth: Optional[jax.Array] = None,
+    block: int = 512,
+    interpret: bool = False,
+    init_active: Optional[jax.Array] = None,
+    cap: int = 8,
+) -> TraceResult:
+    """Two-round straggler re-binning for the single-frame fused march.
+
+    Block residency = max over the block's 512 rays, so a few 30-50-step
+    stragglers dominate class-sorted blocks (measured mean residency ~16
+    vs ray mean ~4 at 512^2 — scripts/diag_binning.py). Round A caps every
+    ray at `cap` steps (no midpoint salvage); survivors are densely
+    re-packed live-first (counting sort) and finish in round B with the
+    remaining budget (+8 to re-establish the bracket, which does not carry
+    across rounds). Simulated residency on recorded true step counts:
+    16451 -> 9318 at cap=8."""
+    import dataclasses as _dc
+
+    from dist_renderer_tpu.ops.tracer import live_counts_from_steps
+
+    n = origins.shape[0]
+    march_a = _dc.replace(march, max_steps=min(cap, march.max_steps))
+    res_a = pallas_sphere_trace(
+        packed, origins, dirs, march_a, init_depth,
+        block=block, interpret=interpret, init_active=init_active,
+        salvage=False,
+    )
+    unres = res_a.unresolved
+
+    # live-first re-pack via ONE multi-operand sort (TPU gathers cost
+    # ~20 ms per 262k take; lax.sort moves key+payloads together for less
+    # than one gather — scripts/diag_glue.py)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = (~unres).astype(jnp.int32)
+    sorted_ = jax.lax.sort(
+        (key, origins[:, 0], origins[:, 1], origins[:, 2],
+         dirs[:, 0], dirs[:, 1], dirs[:, 2], res_a.depth, idx),
+        dimension=0, num_keys=1, is_stable=True,
+    )
+    key_s = sorted_[0]
+    o_s = jnp.stack(sorted_[1:4], axis=-1)
+    v_s = jnp.stack(sorted_[4:7], axis=-1)
+    d_s = sorted_[7]
+    idx_s = sorted_[8]
+    live_s = key_s == 0
+
+    march_b = _dc.replace(march, max_steps=max(march.max_steps - cap + 8, 8))
+
+    def round_b(r):
+        res = pallas_sphere_trace(
+            packed, o_s[:r], v_s[:r], march_b, d_s[:r],
+            block=block, interpret=interpret, init_active=live_s[:r],
+        )
+        pad = lambda a, fill: jnp.concatenate(
+            [a, jnp.full((n - r,), fill, a.dtype)]
+        ) if r < n else a
+        return (pad(res.depth, 0.0), pad(res.hit, False),
+                pad(res.min_sdf, jnp.inf), pad(res.depth_at_min, 0.0),
+                pad(res.last_sdf, jnp.inf), pad(res.unresolved, False),
+                pad(res.steps_per_ray, 0))
+
+    bucket = min(_round_up(max(n // 8, block), block), n)
+    if bucket >= n:
+        d_b, hit_b, ms_b, dam_b, lf_b, un_b, st_b = round_b(n)
+    else:
+        max_live = jnp.sum(live_s)
+        d_b, hit_b, ms_b, dam_b, lf_b, un_b, st_b = jax.lax.cond(
+            max_live > bucket, lambda: round_b(n), lambda: round_b(bucket)
+        )
+
+    # merge in sorted order, then ONE unsort keyed on the carried index
+    merged = jax.lax.sort(
+        (idx_s,
+         jnp.where(live_s, d_b, d_s),
+         jnp.where(live_s, hit_b, False),
+         jnp.where(live_s, ms_b, jnp.inf),
+         jnp.where(live_s, dam_b, 0.0),
+         jnp.where(live_s, lf_b, jnp.inf),
+         jnp.where(live_s, un_b, False),
+         jnp.where(live_s, st_b, 0)),
+        dimension=0, num_keys=1, is_stable=False,
+    )
+    d_p, hit_p, ms_p, dam_p, lf_p, un_p, st_p = merged[1:]
+
+    depth = jnp.where(unres, d_p, res_a.depth)
+    hit = res_a.hit | (unres & hit_p)
+    msdf_b2 = jnp.where(unres, ms_p, jnp.inf)
+    better_b = unres & (msdf_b2 < res_a.min_sdf)
+    steps = res_a.steps_per_ray + jnp.where(unres, st_p, 0)
+    return TraceResult(
+        depth=depth,
+        hit=hit,
+        min_sdf=jnp.where(unres, jnp.minimum(res_a.min_sdf, msdf_b2), res_a.min_sdf),
+        depth_at_min=jnp.where(better_b, dam_p, res_a.depth_at_min),
+        last_sdf=jnp.where(unres, lf_p, res_a.last_sdf),
+        steps_used=jnp.max(steps),
+        live_counts=live_counts_from_steps(steps, march.max_steps),
+        unresolved=jnp.where(unres, un_p, False),
+        steps_per_ray=steps,
+    )
+
+
 class PallasMarchFn:
     """Callable point-function wrapper that also carries packed weights, so
     the renderer can route the whole trace through the fused kernel
     (cfg.use_pallas) while losses/normals keep using the plain decoder."""
 
     def __init__(self, folded: Sequence[FoldedLayer], cfg: DecoderConfig,
-                 point_fn, block: int = 512):
+                 point_fn, block: int = 512, two_round: bool = True,
+                 cap: int = 8):
         self.packed = pack_folded(folded, cfg)
         self.point_fn = point_fn
         self.block = block
+        self.two_round = two_round
+        self.cap = cap
 
     def __call__(self, p):
         return self.point_fn(p)
 
     def trace(self, origins, dirs, march, init_depth=None, init_active=None,
               interpret=False):
+        if self.two_round and march.max_steps > 2 * self.cap:
+            return pallas_sphere_trace_two_round(
+                self.packed, origins, dirs, march, init_depth,
+                block=self.block, interpret=interpret,
+                init_active=init_active, cap=self.cap,
+            )
         return pallas_sphere_trace(
             self.packed, origins, dirs, march, init_depth,
             block=self.block, interpret=interpret, init_active=init_active,

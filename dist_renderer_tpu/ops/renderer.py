@@ -125,8 +125,8 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
             # per-level work-homogeneous ordering: skip-last, rim-first
             key = jnp.where(active & jnp.isnan(init), 0,
                             jnp.where(active, 1, 2)).astype(jnp.int32)
-            order = jnp.argsort(key, stable=True)
-            inv = jnp.argsort(order)
+            from dist_renderer_tpu.ops.binning import counting_sort_perm
+            order, inv = counting_sort_perm(key, 3)
             res_s = _trace(
                 march_fn, o_l[order], v_l[order], coarse_cfg,
                 init[order], active[order],
@@ -198,8 +198,10 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
 
     init_depth = jnp.where(skip, anchor, seed)
     init_active = ~skip
+    from dist_renderer_tpu.ops.binning import counting_sort_perm
+
     key = jnp.where(rim, 0, jnp.where(interior, 1, 2)).astype(jnp.int32)
-    order = jnp.argsort(key, stable=True)
+    order, _ = counting_sort_perm(key, 3)
     return C2FPlan(init_depth=init_depth, init_active=init_active, order=order)
 
 

@@ -177,6 +177,8 @@ def render_batched_c2f_sharded(
     coarse_steps: int = 24,
     backoff: float = 0.05,
     interpret: bool = False,
+    round_caps: Tuple[int, ...] = (4, 12),
+    shared_origin: bool = False,
 ):
     """Config-#5 flagship at scale: the multi-frame fused kernel composed
     with shard_map over a 2-D mesh (SURVEY.md §2 parallelism table row 3:
@@ -199,7 +201,7 @@ def render_batched_c2f_sharded(
     import dataclasses as _dc
 
     from dist_renderer_tpu.ops.pallas.batched_march import (
-        batched_trace_padded, fold_bias_bank, pack_shared,
+        batched_trace_padded, fine_march_rounds, fold_bias_bank, pack_shared,
     )
 
     h, w = img_hw
@@ -295,23 +297,13 @@ def render_batched_c2f_sharded(
 
         skip = ~hit_any_f
         init_depth = jnp.where(skip, anchor, seed)
-        init_active = ~skip
         rim = hit_any_f & ~hit_all_f
         key = jnp.where(rim, 0, jnp.where(hit_all_f, 1, 2)).astype(jnp.int32)
-        order = jnp.argsort(key, axis=1, stable=True)
-        inv = jnp.argsort(order, axis=1)
-        take = lambda a, idx: jnp.take_along_axis(a, idx, axis=1)
-
-        res = batched_trace_padded(
-            shared, bank,
-            jnp.take_along_axis(o, order[..., None], axis=1),
-            jnp.take_along_axis(v, order[..., None], axis=1),
-            march, take(init_depth, order), take(init_active, order),
-            block, interpret,
+        o_in = o[:, :1, :] if shared_origin else o
+        d, hit, msdf = fine_march_rounds(
+            shared, bank, o_in, v, key, init_depth, march,
+            block=block, round_caps=round_caps, interpret=interpret,
         )
-        d = take(res.depth, inv)
-        hit = take(res.hit, inv)
-        msdf = take(res.min_sdf, inv)
         msdf = jnp.where(skip, margin, msdf)
         return d, hit, msdf
 

@@ -56,7 +56,7 @@ def test_batched_c2f_matches_plain(decoder):
     )
     d, h, msdf = render_batched_c2f(
         params, dcfg, latents, origins, dirs, (img, img), MARCH,
-        block=256, strides=(2,), interpret=True, two_phase=True,
+        block=256, strides=(2,), interpret=True,
     )
     # c2f never loses hits
     assert (np.asarray(h_ref) & ~np.asarray(h)).sum() == 0

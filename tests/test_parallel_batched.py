@@ -65,15 +65,19 @@ def test_sharded_batched_matches_single_device(decoder):
         )
     )(latents, ob, vb)
 
-    assert (np.asarray(hit_sh) == np.asarray(hit_ref)).all()
+    hit_ref = np.asarray(hit_ref)
+    assert (np.asarray(hit_sh) == hit_ref).all()
+    # depth contract holds on HIT rays (a miss ray's final march position
+    # is budget-dependent noise — the renderer anchors misses at
+    # depth_at_min, and min_sdf below must agree everywhere)
     np.testing.assert_allclose(
-        np.asarray(d_sh), np.asarray(d_ref), atol=1e-6,
+        np.asarray(d_sh)[hit_ref], np.asarray(d_ref)[hit_ref], atol=1e-6,
         err_msg="sharded batched depth != single-device batched depth",
     )
     np.testing.assert_allclose(
         np.asarray(msdf_sh), np.asarray(msdf_ref), atol=1e-6
     )
-    assert int(np.asarray(hit_sh).sum()) > 100  # scene actually visible
+    assert int(hit_ref.sum()) > 100  # scene actually visible
 
 
 def _newton_polish(point_fn, o, v, d, iters=2):
