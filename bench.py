@@ -76,7 +76,10 @@ def main():
             use_compaction=fast and not on_tpu,
             **march_kw,
         ),
-        grad=GradConfig(mode="ift" if fast else "last_step"),
+        # compact_frac: precise recompute + normals/IFT vjp on a hit-first
+        # n/4 bucket instead of full width (lax.cond full-width fallback)
+        grad=GradConfig(mode="ift", compact_frac=4) if fast
+        else GradConfig(mode="last_step"),
         compute_dtype="bfloat16" if fast else "float32",
         use_pallas=fast and on_tpu,
     )

@@ -100,6 +100,14 @@ class GradConfig:
                               # (>1 lets the bf16 march stop at a loose eps;
                               # extra iterations run under stop_gradient, the
                               # final one stays differentiable)
+    compact_frac: int = 0     # >0: run the differentiable recompute (precise
+                              # value + normals/IFT vjp) on a hit-compacted
+                              # bucket of n/compact_frac rays instead of full
+                              # width — misses only need a cheap margin eval.
+                              # A lax.cond falls back to full width whenever
+                              # the hit count exceeds the bucket, so results
+                              # never depend on the hit fraction.
+    compact_min: int = 16384  # smallest ray count where compaction pays
 
 
 @dataclasses.dataclass(frozen=True)

@@ -64,6 +64,18 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_uint64, ctypes.POINTER(ctypes.c_float),
         ]
         lib.mesh_sample_surface.restype = ctypes.c_int
+        lib.rc_build.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
+        lib.rc_build.restype = ctypes.c_int
+        lib.rc_cast.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.rc_cast.restype = ctypes.c_int
+        lib.rc_free.argtypes = []
+        lib.rc_free.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -112,4 +124,37 @@ def sample_mesh_surface_native(
         n, seed or 1,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
+    return out if rc == 0 else None
+
+
+def raycast_depth_native(
+    verts: np.ndarray, faces: np.ndarray,
+    origins: np.ndarray, dirs: np.ndarray,
+) -> Optional[np.ndarray]:
+    """BVH-raycast hit distances (inf = miss); None when unavailable.
+
+    Serializes on a module-level BVH (mesh_kernels.cpp keeps one global),
+    so builds+casts run under the loader lock."""
+    lib = load_library()
+    if lib is None or len(faces) == 0:
+        return None
+    v = np.ascontiguousarray(verts, np.float32)
+    f = np.ascontiguousarray(faces, np.int64)
+    o = np.ascontiguousarray(origins, np.float32)
+    d = np.ascontiguousarray(dirs, np.float32)
+    out = np.empty((len(o),), np.float32)
+    with _LOCK:
+        rc = lib.rc_build(
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(v),
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(f),
+        )
+        if rc != 0:
+            return None
+        rc = lib.rc_cast(
+            o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(o),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        lib.rc_free()
     return out if rc == 0 else None

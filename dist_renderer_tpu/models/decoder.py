@@ -177,6 +177,13 @@ def make_precise_sdf(params: Params, cfg: DecoderConfig = DecoderConfig()):
         return vjp(ct)
 
     f.defvjp(f_fwd, f_bwd)
+    # cheap single-bf16-pass sibling: miss rays' silhouette MARGINS tolerate
+    # ~1e-3 relative error (they feed a loss margin, not the depth-parity
+    # anchor) — the renderer's hit-compacted recompute uses this for the
+    # non-hit remainder (GradConfig.compact_frac)
+    f.cheap = lambda latent, points: decoder_apply(
+        params, latent, points, cfg, jnp.bfloat16
+    )
     return f
 
 

@@ -116,6 +116,12 @@ def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int
     layers = list(zip(shared.whT, shared.wxT, shared.offsets))
 
     def kernel(frame_ids_ref, rays_ref, bias_ref, *refs):
+        # bias_ref: the [total, 128] frame tile holding this block's frame
+        # column (scalar-prefetch-indexed; Mosaic only re-DMAs it when the
+        # tile index changes). NOTE a per-block [total, 1] column BlockSpec
+        # would be cheaper but is ILLEGAL on the TPU lowering (last block
+        # dim must be 128-divisible or full) — interpret mode accepts it,
+        # hardware rejects it.
         w_refs = list(refs[:-1])
         out_ref = refs[-1]
         i = pl.program_id(0)
@@ -129,34 +135,31 @@ def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int
         far = rays[8:9, :]
         act0 = rays[9:10, :]
 
-        # per-layer bias columns for this block's frame: select the lane
-        # via one-hot reduction (width-1 dynamic lane slices are hostile
-        # to Mosaic layouts)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, FRAME_TILE), 1) == lane
-        )
-        biases = []
-        wi = 0
-        weights = []
-        for wh, wx, (off, out_p) in layers:
-            if wh is not None:
-                weights.append(w_refs[wi][:, :]); wi += 1
-            else:
-                weights.append(None)
-            if wx is not None:
-                weights.append(w_refs[wi][:, :]); wi += 1
-            else:
-                weights.append(None)
-            tile = bias_ref[off:off + out_p, :]
-            biases.append(
-                jnp.sum(jnp.where(onehot, tile, 0.0), axis=1, keepdims=True)
-            )
-
         B = d.shape[1]
         f32 = jnp.float32
         zeros = jnp.zeros((1, B), f32)
 
-        def mlp(p8):
+        def select_biases():
+            """Per-layer bias columns for this block's frame: one-hot
+            reduction over the tile (width-1 dynamic lane slices are
+            hostile to Mosaic layouts). Called only under pl.when(alive) —
+            a ~2.2 MB VMEM sweep dead blocks must not pay."""
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, FRAME_TILE), 1) == lane
+            )
+            biases = []
+            for _, _, (off, out_p) in layers:
+                tile = bias_ref[off:off + out_p, :]
+                biases.append(
+                    jnp.sum(jnp.where(onehot, tile, 0.0), axis=1,
+                            keepdims=True)
+                )
+            return biases
+
+        def mlp(p8, biases):
+            # fp32 accumulation, one rounding at the activation (bf16
+            # accumulation rejected — see fused_march._mlp precision note);
+            # weights read AT USE from refs (dead blocks never touch them)
             h = None
             wi = 0
             n_layers = len(layers)
@@ -164,17 +167,17 @@ def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int
                 acc = None
                 if wh is not None:
                     acc = jax.lax.dot_general(
-                        weights[wi], h, (((1,), (0,)), ((), ())),
+                        w_refs[wi][:, :], h, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                wi += 1
+                    wi += 1
                 if wx is not None:
                     xz = jax.lax.dot_general(
-                        weights[wi], p8, (((1,), (0,)), ((), ())),
+                        w_refs[wi][:, :], p8, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                     acc = xz if acc is None else acc + xz
-                wi += 1
+                    wi += 1
                 acc = acc + biases[li]
                 if li < n_layers - 1:
                     h = jnp.maximum(acc, 0.0).astype(jnp.bfloat16)
@@ -185,88 +188,408 @@ def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int
                 sdf = jnp.tanh(sdf)
             return sdf
 
-        carry0 = (
-            d, act0, zeros,
-            jnp.full((1, B), _NEG_BIG, f32), jnp.full((1, B), _POS_BIG, f32),
-            jnp.full((1, B), _POS_BIG, f32), jnp.full((1, B), _NEG_BIG, f32),
-            jnp.full((1, B), _POS_BIG, f32), d,
-            jnp.full((1, B), _POS_BIG, f32), zeros,
-            zeros,                               # exhausted-without-bracket
-        )
-
-        def march_one(c):
-            (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-             last_f, steps, unres_f) = c
-            act = act_f > 0.5
-            p = o + d * v
-            p8 = jnp.concatenate([p, jnp.zeros((5, B), f32)], axis=0)
-            f = mlp(p8.astype(jnp.bfloat16))
-
-            better = act & (f < min_sdf)
-            min_sdf = jnp.where(better, f, min_sdf)
-            d_at_min = jnp.where(better, d, d_at_min)
-
-            outside = f > 0.0
-            d_lo = jnp.where(act & outside, d, d_lo)
-            f_lo = jnp.where(act & outside, f, f_lo)
-            d_hi = jnp.where(act & ~outside, d, d_hi)
-            f_hi = jnp.where(act & ~outside, f, f_hi)
-            bracketed = (d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)
-            width = d_hi - d_lo
-
-            converged = act & ((jnp.abs(f) < eps) | (bracketed & (width < deps)))
-
-            d_aggr = d + alpha * f
-            denom = f_hi - f_lo
-            secant = (d_lo * f_hi - d_hi * f_lo) / jnp.where(denom == 0.0, 1.0, denom)
-            secant = jnp.clip(secant, d_lo + 0.05 * width, d_hi - 0.05 * width)
-            d_back = d + f
-            d_next = jnp.where(bracketed, secant, jnp.where(outside, d_aggr, d_back))
-
-            steps = steps + jnp.where(act, 1.0, 0.0)
-            exhausted = steps >= float(max_steps)
-            escaped = (~bracketed) & ((d_next > far) | (d_next < near - margin))
-            missed = act & ~converged & (escaped | exhausted)
-            if salvage:
-                # final march: accept the bracket midpoint on exhaustion
-                salvaged = act & ~converged & exhausted & bracketed
-            else:
-                # step-capped round: bracketed-but-unconverged rays REQUEUE
-                # (midpoint depth at a small cap can be off by width/2)
-                salvaged = jnp.zeros_like(act)
-            missed = missed & ~salvaged
-            converged = converged | salvaged
-
-            still = act & ~converged & ~missed
-            d = jnp.where(still, d_next, jnp.where(salvaged, 0.5 * (d_lo + d_hi), d))
-            last_f = jnp.where(act, f, last_f)
-            hit_f = jnp.maximum(hit_f, jnp.where(converged, 1.0, 0.0))
-            open_exh = act & ~converged & exhausted & (
-                jnp.ones_like(act) if not salvage else ~bracketed
-            )
-            unres_f = jnp.maximum(unres_f, jnp.where(open_exh, 1.0, 0.0))
-            return (d, jnp.where(still, 1.0, 0.0), hit_f, d_lo, f_lo, d_hi,
-                    f_hi, min_sdf, d_at_min, last_f, steps, unres_f)
-
-        def loop_cond(kc):
-            k, c = kc
-            return (k < max_steps) & (jnp.max(c[1]) > 0.5)
-
-        def loop_body(kc):
-            k, c = kc
-            return (k + 1, march_one(c))
-
-        _, outc = jax.lax.while_loop(loop_cond, loop_body, (0, carry0))
-        (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-         last_f, steps, unres_f) = outc
+        # dead-block fast path: emit the init-state outputs and skip the
+        # bias select + march entirely (a dead 512-lane block otherwise
+        # pays the full per-block prologue before its early exit)
+        big = jnp.full((1, B), _POS_BIG, f32)
         out_ref[:, :] = jnp.concatenate(
-            [d, hit_f, min_sdf, d_at_min, last_f, steps,
-             jnp.maximum(act_f, unres_f),    # unresolved at exit
-             jnp.zeros((1, B), f32)],
-            axis=0,
+            [d, zeros, big, d, big, zeros, zeros, zeros], axis=0
         )
+
+        @pl.when(jnp.max(act0) > 0.5)
+        def _march_block():
+            biases = select_biases()
+            carry0 = (
+                d, act0, zeros,
+                jnp.full((1, B), _NEG_BIG, f32), jnp.full((1, B), _POS_BIG, f32),
+                jnp.full((1, B), _POS_BIG, f32), jnp.full((1, B), _NEG_BIG, f32),
+                jnp.full((1, B), _POS_BIG, f32), d,
+                jnp.full((1, B), _POS_BIG, f32), zeros,
+                zeros,                           # exhausted-without-bracket
+            )
+
+            def march_one(c):
+                (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
+                 last_f, steps, unres_f) = c
+                act = act_f > 0.5
+                p = o + d * v
+                p8 = jnp.concatenate([p, jnp.zeros((5, B), f32)], axis=0)
+                f = mlp(p8.astype(jnp.bfloat16), biases)
+
+                better = act & (f < min_sdf)
+                min_sdf = jnp.where(better, f, min_sdf)
+                d_at_min = jnp.where(better, d, d_at_min)
+
+                outside = f > 0.0
+                d_lo = jnp.where(act & outside, d, d_lo)
+                f_lo = jnp.where(act & outside, f, f_lo)
+                d_hi = jnp.where(act & ~outside, d, d_hi)
+                f_hi = jnp.where(act & ~outside, f, f_hi)
+                bracketed = (d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)
+                width = d_hi - d_lo
+
+                converged = act & ((jnp.abs(f) < eps) | (bracketed & (width < deps)))
+
+                d_aggr = d + alpha * f
+                denom = f_hi - f_lo
+                secant = (d_lo * f_hi - d_hi * f_lo) / jnp.where(denom == 0.0, 1.0, denom)
+                secant = jnp.clip(secant, d_lo + 0.05 * width, d_hi - 0.05 * width)
+                d_back = d + f
+                d_next = jnp.where(bracketed, secant, jnp.where(outside, d_aggr, d_back))
+
+                steps = steps + jnp.where(act, 1.0, 0.0)
+                exhausted = steps >= float(max_steps)
+                escaped = (~bracketed) & ((d_next > far) | (d_next < near - margin))
+                missed = act & ~converged & (escaped | exhausted)
+                if salvage:
+                    # final march: accept the bracket midpoint on exhaustion
+                    salvaged = act & ~converged & exhausted & bracketed
+                else:
+                    # step-capped round: bracketed-but-unconverged rays REQUEUE
+                    # (midpoint depth at a small cap can be off by width/2)
+                    salvaged = jnp.zeros_like(act)
+                missed = missed & ~salvaged
+                converged = converged | salvaged
+
+                still = act & ~converged & ~missed
+                d = jnp.where(still, d_next, jnp.where(salvaged, 0.5 * (d_lo + d_hi), d))
+                last_f = jnp.where(act, f, last_f)
+                hit_f = jnp.maximum(hit_f, jnp.where(converged, 1.0, 0.0))
+                open_exh = act & ~converged & exhausted & (
+                    jnp.ones_like(act) if not salvage else ~bracketed
+                )
+                unres_f = jnp.maximum(unres_f, jnp.where(open_exh, 1.0, 0.0))
+                return (d, jnp.where(still, 1.0, 0.0), hit_f, d_lo, f_lo, d_hi,
+                        f_hi, min_sdf, d_at_min, last_f, steps, unres_f)
+
+            def loop_cond(kc):
+                k, c = kc
+                return (k < max_steps) & (jnp.max(c[1]) > 0.5)
+
+            def loop_body(kc):
+                k, c = kc
+                return (k + 1, march_one(c))
+
+            _, outc = jax.lax.while_loop(loop_cond, loop_body, (0, carry0))
+            (d_out, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
+             last_f, steps, unres_f) = outc
+            out_ref[:, :] = jnp.concatenate(
+                [d_out, hit_f, min_sdf, d_at_min, last_f, steps,
+                 jnp.maximum(act_f, unres_f),    # unresolved at exit
+                 jnp.zeros((1, B), f32)],
+                axis=0,
+            )
 
     return kernel
+
+
+def _make_persistent_kernel(shared: SharedDecoder, march: MarchConfig,
+                            max_steps: int, salvage: bool, block: int,
+                            n_chunks: int):
+    """ONE grid step; an in-kernel scalar loop walks ray chunks, DMAs each
+    live chunk HBM->VMEM, marches it, and DMAs the result back. Dead
+    chunks cost a scalar branch instead of ~11 us of per-grid-step Mosaic
+    machinery (scripts/diag_kernel.py: a dead 512-lane grid block costs
+    ~11 us REGARDLESS of kernel content — the only cure is not launching
+    it). Dead chunks' outputs come pre-seeded via input_output_aliases."""
+    eps = march.convergence_eps
+    deps = march.depth_eps
+    alpha = march.alpha
+    margin = march.far_margin
+    layers = list(zip(shared.whT, shared.wxT, shared.offsets))
+    total = shared.total
+
+    def kernel(alive_ref, rays_hbm, bias_hbm, *refs):
+        # trailing refs: defaults (aliased to the output, unread), out,
+        # then the scratch buffers and semaphores in declaration order
+        (_defaults, out_hbm, rays_v, out_v, bias_v, tile_state,
+         sem_in, sem_out, sem_bias) = refs[-9:]
+        w_refs = refs[:-9]
+        f32 = jnp.float32
+        B = block
+
+        tile_state[0] = -1  # current bias tile in bias_v (none yet)
+
+        def mlp(p8, biases):
+            h = None
+            wi = 0
+            n_layers = len(layers)
+            for li, (wh, wx, _) in enumerate(layers):
+                acc = None
+                if wh is not None:
+                    acc = jax.lax.dot_general(
+                        w_refs[wi][:, :], h, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    wi += 1
+                if wx is not None:
+                    xz = jax.lax.dot_general(
+                        w_refs[wi][:, :], p8, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = xz if acc is None else acc + xz
+                    wi += 1
+                acc = acc + biases[li]
+                if li < n_layers - 1:
+                    h = jnp.maximum(acc, 0.0).astype(jnp.bfloat16)
+                else:
+                    h = acc
+            sdf = h[0:1, :]
+            if shared.final_tanh:
+                sdf = jnp.tanh(sdf)
+            return sdf
+
+        def run_chunk(ci):
+            tile = ci // FRAME_TILE
+
+            @pl.when(tile != tile_state[0])
+            def _fetch_tile():
+                cp = pltpu.make_async_copy(
+                    bias_hbm.at[:, pl.ds(tile * FRAME_TILE, FRAME_TILE)],
+                    bias_v, sem_bias,
+                )
+                cp.start()
+                cp.wait()
+                tile_state[0] = tile
+
+            cin = pltpu.make_async_copy(
+                rays_hbm.at[:, pl.ds(ci * B, B)], rays_v, sem_in
+            )
+            cin.start()
+            cin.wait()
+
+            rays = rays_v[:, :]
+            o = rays[0:3, :]
+            v = rays[3:6, :]
+            d = rays[6:7, :]
+            near = rays[7:8, :]
+            far = rays[8:9, :]
+            act0 = rays[9:10, :]
+            zeros = jnp.zeros((1, B), f32)
+
+            lane = ci % FRAME_TILE
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, FRAME_TILE), 1) == lane
+            )
+            biases = []
+            for _, _, (off, out_p) in layers:
+                t = bias_v[off:off + out_p, :]
+                biases.append(
+                    jnp.sum(jnp.where(onehot, t, 0.0), axis=1, keepdims=True)
+                )
+
+            carry0 = (
+                d, act0, zeros,
+                jnp.full((1, B), _NEG_BIG, f32), jnp.full((1, B), _POS_BIG, f32),
+                jnp.full((1, B), _POS_BIG, f32), jnp.full((1, B), _NEG_BIG, f32),
+                jnp.full((1, B), _POS_BIG, f32), d,
+                jnp.full((1, B), _POS_BIG, f32), zeros,
+                zeros,
+            )
+
+            def march_one(c):
+                (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
+                 last_f, steps, unres_f) = c
+                act = act_f > 0.5
+                p = o + d * v
+                p8 = jnp.concatenate([p, jnp.zeros((5, B), f32)], axis=0)
+                f = mlp(p8.astype(jnp.bfloat16), biases)
+
+                better = act & (f < min_sdf)
+                min_sdf = jnp.where(better, f, min_sdf)
+                d_at_min = jnp.where(better, d, d_at_min)
+
+                outside = f > 0.0
+                d_lo = jnp.where(act & outside, d, d_lo)
+                f_lo = jnp.where(act & outside, f, f_lo)
+                d_hi = jnp.where(act & ~outside, d, d_hi)
+                f_hi = jnp.where(act & ~outside, f, f_hi)
+                bracketed = (d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)
+                width = d_hi - d_lo
+
+                converged = act & (
+                    (jnp.abs(f) < eps) | (bracketed & (width < deps))
+                )
+
+                d_aggr = d + alpha * f
+                denom = f_hi - f_lo
+                secant = (d_lo * f_hi - d_hi * f_lo) / jnp.where(
+                    denom == 0.0, 1.0, denom
+                )
+                secant = jnp.clip(secant, d_lo + 0.05 * width,
+                                  d_hi - 0.05 * width)
+                d_back = d + f
+                d_next = jnp.where(
+                    bracketed, secant, jnp.where(outside, d_aggr, d_back)
+                )
+
+                steps = steps + jnp.where(act, 1.0, 0.0)
+                exhausted = steps >= float(max_steps)
+                escaped = (~bracketed) & (
+                    (d_next > far) | (d_next < near - margin)
+                )
+                missed = act & ~converged & (escaped | exhausted)
+                if salvage:
+                    salvaged = act & ~converged & exhausted & bracketed
+                else:
+                    salvaged = jnp.zeros_like(act)
+                missed = missed & ~salvaged
+                converged = converged | salvaged
+
+                still = act & ~converged & ~missed
+                d = jnp.where(
+                    still, d_next, jnp.where(salvaged, 0.5 * (d_lo + d_hi), d)
+                )
+                last_f = jnp.where(act, f, last_f)
+                hit_f = jnp.maximum(hit_f, jnp.where(converged, 1.0, 0.0))
+                open_exh = act & ~converged & exhausted & (
+                    jnp.ones_like(act) if not salvage else ~bracketed
+                )
+                unres_f = jnp.maximum(unres_f, jnp.where(open_exh, 1.0, 0.0))
+                return (d, jnp.where(still, 1.0, 0.0), hit_f, d_lo, f_lo,
+                        d_hi, f_hi, min_sdf, d_at_min, last_f, steps, unres_f)
+
+            def loop_cond(kc):
+                k, c = kc
+                return (k < max_steps) & (jnp.max(c[1]) > 0.5)
+
+            def loop_body(kc):
+                k, c = kc
+                return (k + 1, march_one(c))
+
+            _, outc = jax.lax.while_loop(loop_cond, loop_body, (0, carry0))
+            (d_out, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
+             last_f, steps, unres_f) = outc
+            out_v[:, :] = jnp.concatenate(
+                [d_out, hit_f, min_sdf, d_at_min, last_f, steps,
+                 jnp.maximum(act_f, unres_f), jnp.zeros((1, B), f32)],
+                axis=0,
+            )
+            cout = pltpu.make_async_copy(
+                out_v, out_hbm.at[:, pl.ds(ci * B, B)], sem_out
+            )
+            cout.start()
+            cout.wait()
+
+        def chunk_body(ci, carry):
+            @pl.when(alive_ref[ci] > 0)
+            def _():
+                run_chunk(ci)
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    return kernel
+
+
+def pallas_sphere_trace_persistent(
+    shared: SharedDecoder,
+    bias_bank: jax.Array,          # [total, F_pad]
+    frame_of_ray: jax.Array,       # [N] int32 (frame-major)
+    origins: jax.Array,
+    dirs: jax.Array,
+    march: MarchConfig,
+    init_depth: Optional[jax.Array] = None,
+    init_active: Optional[jax.Array] = None,
+    block: int = 512,
+    interpret: bool = False,
+    salvage: bool = True,
+) -> TraceResult:
+    """Persistent-formulation multi-frame trace: same contract as
+    pallas_sphere_trace_batched, but the whole launch is ONE grid step
+    whose in-kernel loop walks chunks and SKIPS dead ones (cost: a scalar
+    branch vs ~11 us per dead grid block). Per-chunk bias columns are
+    pregathered into chunk order so the kernel streams [total, 128] tiles
+    sequentially."""
+    n = origins.shape[0]
+    if n % block:
+        raise ValueError(f"ray count {n} not a multiple of block {block}")
+    n_chunks = n // block
+    frame_of_block = frame_of_ray[::block].astype(jnp.int32)
+
+    t_near, t_far, enters = ray_sphere_entry(origins, dirs, march.sphere_radius, 0.0)
+    far_bound = t_far + march.far_margin
+    t_closest = jnp.maximum(-jnp.sum(origins * dirs, axis=-1), 0.0)
+    d0 = jnp.where(enters, t_near, t_closest).astype(jnp.float32)
+    if init_depth is not None:
+        seeded = jnp.isfinite(init_depth) & enters
+        d0 = jnp.where(seeded, jnp.maximum(init_depth, t_near), d0)
+    active0 = enters if init_active is None else (enters & init_active)
+
+    rays = jnp.zeros((16, n), jnp.float32)
+    rays = rays.at[0:3, :].set(origins.T)
+    rays = rays.at[3:6, :].set(dirs.T)
+    rays = rays.at[6, :].set(d0)
+    rays = rays.at[7, :].set(t_near)
+    rays = rays.at[8, :].set(far_bound)
+    rays = rays.at[9, :].set(active0.astype(jnp.float32))
+
+    # chunk liveness + per-chunk bias columns in CHUNK order
+    alive = active0.reshape(n_chunks, block).any(axis=1).astype(jnp.int32)
+    nc_pad = _round_up(n_chunks, FRAME_TILE)
+    cols = jnp.pad(frame_of_block, (0, nc_pad - n_chunks))
+    bias_cols = jnp.take(bias_bank, cols, axis=1)      # [total, nc_pad]
+
+    # dead chunks keep these pre-seeded outputs (input_output_aliases)
+    zeros_n = jnp.zeros((n,), jnp.float32)
+    defaults = jnp.stack([
+        d0, zeros_n, jnp.full((n,), _POS_BIG, jnp.float32), d0,
+        jnp.full((n,), _POS_BIG, jnp.float32), zeros_n, zeros_n, zeros_n,
+    ])
+
+    weights = []
+    for wh, wx in zip(shared.whT, shared.wxT):
+        if wh is not None:
+            weights.append(wh)
+        if wx is not None:
+            weights.append(wx)
+
+    kernel = _make_persistent_kernel(
+        shared, march, march.max_steps, salvage, block, n_chunks
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # alive
+            pl.BlockSpec(memory_space=pltpu.ANY),         # rays (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),         # bias cols (HBM)
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
+            pl.BlockSpec(memory_space=pltpu.ANY),         # defaults -> out
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        input_output_aliases={3 + len(weights): 0},
+        scratch_shapes=[
+            pltpu.VMEM((16, block), jnp.float32),
+            pltpu.VMEM((8, block), jnp.float32),
+            pltpu.VMEM((shared.total, FRAME_TILE), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(alive, rays, bias_cols, *weights, defaults)
+
+    d = out[0]
+    hit = out[1] > 0.5
+    min_sdf = out[2]
+    p_closest = origins + t_closest[:, None] * dirs
+    geo_margin = jnp.linalg.norm(p_closest, axis=-1) - march.sphere_radius
+    min_sdf = jnp.where(enters, min_sdf, geo_margin)
+    min_sdf = jnp.where(min_sdf > _POS_BIG / 2, geo_margin, min_sdf)
+    from dist_renderer_tpu.ops.tracer import live_counts_from_steps
+
+    steps_i = out[5].astype(jnp.int32)
+    return TraceResult(
+        depth=d, hit=hit, min_sdf=min_sdf, depth_at_min=out[3],
+        last_sdf=out[4], steps_used=jnp.max(steps_i),
+        live_counts=live_counts_from_steps(steps_i, march.max_steps),
+        unresolved=out[6] > 0.5,
+        steps_per_ray=steps_i,
+    )
 
 
 def pallas_sphere_trace_batched(
@@ -377,11 +700,13 @@ def batched_trace_padded(
     block: int = 512,
     interpret: bool = False,
     salvage: bool = True,
+    persistent: bool = True,
 ) -> TraceResult:
     """Frame-major multi-frame trace with per-frame padding to the kernel
     block size. Returns a TraceResult whose per-ray fields are [F, R]
     (padding trimmed). Shared by render_batched_c2f and the shard_map
-    wrapper in parallel/sharding.py."""
+    wrapper in parallel/sharding.py. persistent=True routes through the
+    one-grid-step kernel (dead chunks ~free)."""
     f, r = o.shape[0], o.shape[1]
     r_pad = _round_up(max(r, block), block)
     pad = r_pad - r
@@ -392,7 +717,11 @@ def batched_trace_padded(
         s_p = jnp.pad(seed, ((0, 0), (0, pad)), constant_values=jnp.nan).reshape(-1)
     a = jnp.pad(active, ((0, 0), (0, pad))).reshape(-1)
     frame_of_ray = jnp.repeat(jnp.arange(f, dtype=jnp.int32), r_pad)
-    res = pallas_sphere_trace_batched(
+    trace_fn = (
+        pallas_sphere_trace_persistent if persistent
+        else pallas_sphere_trace_batched
+    )
+    res = trace_fn(
         shared, bank, frame_of_ray, o_p, v_p, march, s_p,
         init_active=a, block=block, interpret=interpret, salvage=salvage,
     )
@@ -419,6 +748,7 @@ def fine_march_rounds(
     round_caps: Tuple[int, ...] = (4, 12),
     interpret: bool = False,
     diag: Optional[dict] = None,
+    live_frac: int = 2,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Multi-round straggler-rebinned fine march; outputs in PIXEL order.
 
@@ -435,6 +765,13 @@ def fine_march_rounds(
     spent ~100 ms/launch on argsort+gather glue. A multi-operand lax.sort
     moves key+payloads together at ~19 ms total, and the final unsort is
     one sort keyed on the carried pixel index.
+
+    Why a live-prefix (live_frac): after the class sort the skip rays form
+    a dead suffix (~70% of a typical frame). Confining every round AND
+    every repack sort to the first N/live_frac columns removes their dead
+    kernel blocks and halves the repack-sort width. A lax.cond falls back
+    to the full width whenever rim+interior overflow the prefix, so
+    correctness never depends on the scene.
 
     Why buckets: re-packed survivors fill the leading columns, so later
     rounds march a STATIC slice (n/4, then n/8) — fewer dead blocks (one
@@ -459,76 +796,113 @@ def fine_march_rounds(
     key_s, pays = sort_by(
         key, [dirs[..., 0], dirs[..., 1], dirs[..., 2], init_depth, pix] + o_pay
     )
-    v_s = jnp.stack(pays[0:3], axis=-1)
-    d = pays[3]
-    pix_s = pays[4]
-    o_s = origins if shared_origin else jnp.stack(pays[5:8], axis=-1)
-    live = key_s != 2
-    hit_f = jnp.zeros((f, n), f32)
-    msdf = jnp.full((f, n), jnp.inf, f32)
-
-    def o_slice(r):
-        if shared_origin:
-            return jnp.broadcast_to(o_s, (f, r, 3))
-        return o_s[:, :r]
-
-    def run_round(ri, r, m, salvage, d, live, hit_f, msdf):
-        """March the first r columns (current order); merge into full."""
-        res = batched_trace_padded(
-            shared, bank, o_slice(r), v_s[:, :r], m,
-            d[:, :r], live[:, :r], block, interpret, salvage,
-        )
-        if diag is not None:
-            diag[f"fine_r{ri}_block_residency"] = res.steps_per_ray.reshape(
-                -1, block).max(axis=1)
-        was = live[:, :r]
-        upd = lambda full, part: full.at[:, :r].set(
-            jnp.where(was, part, full[:, :r]))
-        d = upd(d, res.depth)
-        hit_f = upd(hit_f, jnp.maximum(hit_f[:, :r], res.hit.astype(f32)))
-        msdf = upd(msdf, jnp.minimum(msdf[:, :r], res.min_sdf))
-        live = upd(live, res.unresolved)
-        return d, live, hit_f, msdf
-
-    def repack():
-        """Live-first re-pack of all per-ray state (one payload sort)."""
-        nonlocal v_s, d, hit_f, msdf, pix_s, o_s, live
-        k2 = (~live).astype(jnp.int32)
-        k2_s, pays = sort_by(k2, [v_s[..., 0], v_s[..., 1], v_s[..., 2],
-                                  d, hit_f, msdf, pix_s] + (
-            [] if shared_origin else
-            [o_s[..., 0], o_s[..., 1], o_s[..., 2]]))
-        v_s = jnp.stack(pays[0:3], axis=-1)
-        d, hit_f, msdf, pix_s = pays[3], pays[4], pays[5], pays[6]
-        if not shared_origin:
-            o_s = jnp.stack(pays[7:10], axis=-1)
-        live = k2_s == 0  # live-first prefix in the new order
+    v_s0 = jnp.stack(pays[0:3], axis=-1)
+    d0 = pays[3]
+    pix_s0 = pays[4]
+    o_s0 = origins if shared_origin else jnp.stack(pays[5:8], axis=-1)
+    live0 = key_s != 2
+    hit0 = jnp.zeros((f, n), f32)
+    msdf0 = jnp.full((f, n), jnp.inf, f32)
 
     caps = tuple(round_caps)
-    for ri, cap in enumerate(caps):
-        m = _dc.replace(march, max_steps=min(cap, march.max_steps))
-        if ri > 0:
-            repack()
-            bucket = min(_round_up(max(n // 4, block), block), n)
+
+    def rounds(width, state):
+        """All rounds + repacks confined to the first `width` columns.
+        Assumes every live ray is within that prefix. Returns full-width
+        (d, hit_f, msdf, pix_s)."""
+        v_s, d, hit_f, msdf, pix_s, o_s, live = state
+        # slice the working prefix once; the dead suffix rejoins at the end
+        sfx = lambda a: a[:, width:]
+        suffix = (d[:, width:], hit_f[:, width:], msdf[:, width:],
+                  pix_s[:, width:])
+        v_s, d, hit_f, msdf, pix_s, live = (
+            v_s[:, :width], d[:, :width], hit_f[:, :width],
+            msdf[:, :width], pix_s[:, :width], live[:, :width],
+        )
+        if not shared_origin:
+            o_s = o_s[:, :width]
+
+        def o_slice(r):
+            if shared_origin:
+                return jnp.broadcast_to(o_s, (f, r, 3))
+            return o_s[:, :r]
+
+        def run_round(ri, r, m, salvage, d, live, hit_f, msdf):
+            """March the first r columns (current order); merge back."""
+            res = batched_trace_padded(
+                shared, bank, o_slice(r), v_s[:, :r], m,
+                d[:, :r], live[:, :r], block, interpret, salvage,
+            )
+            if diag is not None:
+                diag[f"fine_r{ri}_block_residency"] = res.steps_per_ray.reshape(
+                    -1, block).max(axis=1)
+            was = live[:, :r]
+            upd = lambda full, part: full.at[:, :r].set(
+                jnp.where(was, part, full[:, :r]))
+            d = upd(d, res.depth)
+            hit_f = upd(hit_f, jnp.maximum(hit_f[:, :r], res.hit.astype(f32)))
+            msdf = upd(msdf, jnp.minimum(msdf[:, :r], res.min_sdf))
+            live = upd(live, res.unresolved)
+            return d, live, hit_f, msdf
+
+        def repack(v_s, d, hit_f, msdf, pix_s, o_s, live):
+            """Live-first re-pack of the prefix (one payload sort)."""
+            k2 = (~live).astype(jnp.int32)
+            k2_s, pays = sort_by(k2, [v_s[..., 0], v_s[..., 1], v_s[..., 2],
+                                      d, hit_f, msdf, pix_s] + (
+                [] if shared_origin else
+                [o_s[..., 0], o_s[..., 1], o_s[..., 2]]))
+            v_s = jnp.stack(pays[0:3], axis=-1)
+            d, hit_f, msdf, pix_s = pays[3], pays[4], pays[5], pays[6]
+            if not shared_origin:
+                o_s = jnp.stack(pays[7:10], axis=-1)
+            live = k2_s == 0  # live-first prefix in the new order
+            return v_s, d, hit_f, msdf, pix_s, o_s, live
+
+        for ri, cap in enumerate(caps):
+            m = _dc.replace(march, max_steps=min(cap, march.max_steps))
+            if ri > 0:
+                v_s, d, hit_f, msdf, pix_s, o_s, live = repack(
+                    v_s, d, hit_f, msdf, pix_s, o_s, live)
+                bucket = min(_round_up(max(n // 4, block), block), width)
+            else:
+                bucket = width
+            d, live, hit_f, msdf = run_round(ri, bucket, m, False,
+                                             d, live, hit_f, msdf)
+
+        # FINAL round: full remaining budget; bucketed w/ overflow fallback
+        v_s, d, hit_f, msdf, pix_s, o_s, live = repack(
+            v_s, d, hit_f, msdf, pix_s, o_s, live)
+        bucket = min(_round_up(max(n // 8, block), block), width)
+
+        if bucket >= width or diag is not None:
+            # diag mode: cond branches may not write telemetry (the tracer
+            # would leak out of the cond) — run unconditionally
+            d, live, hit_f, msdf = run_round(len(caps), width, march, True,
+                                             d, live, hit_f, msdf)
         else:
-            bucket = n
-        d, live, hit_f, msdf = run_round(ri, bucket, m, False,
-                                         d, live, hit_f, msdf)
+            max_live = jnp.max(jnp.sum(live, axis=1))
+            state2 = (d, live, hit_f, msdf)
+            d, live, hit_f, msdf = jax.lax.cond(
+                max_live > bucket,
+                lambda s: run_round(len(caps), width, march, True, *s),
+                lambda s: run_round(len(caps), bucket, march, True, *s),
+                state2,
+            )
+        cat = lambda a, sfx: jnp.concatenate([a, sfx], axis=1)
+        return (cat(d, suffix[0]), cat(hit_f, suffix[1]),
+                cat(msdf, suffix[2]), cat(pix_s, suffix[3]))
 
-    # FINAL round: full remaining budget; bucketed with overflow fallback
-    repack()
-    bucket = min(_round_up(max(n // 8, block), block), n)
-
-    if bucket >= n:
-        d, live, hit_f, msdf = run_round(len(caps), n, march, True,
-                                         d, live, hit_f, msdf)
+    state = (v_s0, d0, hit0, msdf0, pix_s0, o_s0, live0)
+    prefix = min(_round_up(max(n // max(live_frac, 1), block), block), n)
+    if prefix >= n or diag is not None:
+        d, hit_f, msdf, pix_s = rounds(n, state)
     else:
-        max_live = jnp.max(jnp.sum(live, axis=1))
-        state = (d, live, hit_f, msdf)
-        d, live, hit_f, msdf = jax.lax.cond(
-            max_live > bucket,
-            lambda s: run_round(len(caps), n, march, True, *s),
-            lambda s: run_round(len(caps), bucket, march, True, *s),
+        max_live0 = jnp.max(jnp.sum(live0, axis=1))
+        d, hit_f, msdf, pix_s = jax.lax.cond(
+            max_live0 > prefix,
+            lambda s: rounds(n, s),
+            lambda s: rounds(prefix, s),
             state,
         )
 
@@ -547,12 +921,13 @@ def render_batched_c2f(
     march: MarchConfig,
     block: int = 512,
     backoff: float = 0.05,
-    coarse_steps: int = 24,
-    strides: Tuple[int, ...] = (4,),
+    coarse_steps: int = 16,
+    strides: Tuple[int, ...] = (16, 4),
     interpret: bool = False,
     round_caps: Tuple[int, ...] = (4, 12),
     shared_origin: bool = False,
     with_diag: bool = False,
+    live_frac: int = 2,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
@@ -663,7 +1038,7 @@ def render_batched_c2f(
     d, hit, msdf = fine_march_rounds(
         shared, bank, o_in, dirs, key, init_depth, march,
         block=block, round_caps=round_caps, interpret=interpret,
-        diag=diag if with_diag else None,
+        diag=diag if with_diag else None, live_frac=live_frac,
     )
     # skip rays never marched: their silhouette margin is the coarse one
     msdf = jnp.where(skip, margin, msdf)

@@ -89,28 +89,38 @@ def pack_folded(folded: Sequence[FoldedLayer], cfg: DecoderConfig) -> PackedDeco
     return PackedDecoder(tuple(whT), tuple(wxT), tuple(bs), cfg.final_tanh)
 
 
-def _mlp(p8, weights: List[jax.Array], layout, final_tanh: bool):
+def _mlp(p8, w_refs, layout, final_tanh: bool):
     """p8 [8, B] bf16 (rows 0-2 = xyz). Returns sdf [1, B] fp32.
-    `layout` is a list of ('h'|'x'|'hx') describing each layer's inputs."""
+    `layout` is a list of ('h'|'x'|'hx') describing each layer's inputs.
+
+    w_refs are pl.Refs read AT USE inside the march loop — materializing
+    all ~3.6 MB of weights up front (outside the while_loop) made every
+    DEAD block pay an ~11.6 us VMEM sweep before its early exit (measured,
+    scripts/diag_kernel.py).
+
+    Precision note: hidden dots accumulate in fp32 and round ONCE to bf16
+    at the activation (bf16 accumulation was tried and rejected — it puts
+    p95 ~3.6e-3 of noise on the sdf VALUE, beyond the march's own
+    convergence eps, and broke the kernel-vs-fp32 parity bar)."""
     h = None
     idx = 0
     n_layers = len(layout)
     for i, kind in enumerate(layout):
         acc = None
         if "h" in kind:
-            w = weights[idx]; idx += 1
+            w = w_refs[idx][:, :]; idx += 1
             acc = jax.lax.dot_general(
                 w, h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         if "x" in kind:
-            w = weights[idx]; idx += 1
+            w = w_refs[idx][:, :]; idx += 1
             xz = jax.lax.dot_general(
                 w, p8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc = xz if acc is None else acc + xz
-        b = weights[idx]; idx += 1
+        b = w_refs[idx][:, :]; idx += 1
         acc = acc + b
         if i < n_layers - 1:
             h = jnp.maximum(acc, 0.0).astype(jnp.bfloat16)
@@ -140,8 +150,31 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int,
         far = rays[8:9, :]
         act0 = rays[9:10, :]                       # 1.0 / 0.0
 
-        weights = [w[:, :] for w in w_refs]
+        B = d.shape[1]
+        f32 = jnp.float32
+        zeros = jnp.zeros((1, B), f32)
 
+        # dead-block fast path: emit the init-state outputs and return —
+        # class-sorted launches have many all-inactive blocks, and the
+        # per-block prologue (carry init + loop entry) is the bulk of
+        # their ~11 us cost (scripts/diag_kernel.py)
+        big = jnp.full((1, B), _POS_BIG, f32)
+        out_ref[:, :] = jnp.concatenate(
+            [d, zeros, big, d, big, zeros, zeros, zeros], axis=0
+        )
+
+        @pl.when(jnp.max(act0) > 0.5)
+        def _march_block():
+            _kernel_body(rays_ref, w_refs, out_ref)
+
+    def _kernel_body(rays_ref, w_refs, out_ref):
+        rays = rays_ref[:, :]                      # [16, B] fp32
+        o = rays[0:3, :]
+        v = rays[3:6, :]
+        d = rays[6:7, :]
+        near = rays[7:8, :]
+        far = rays[8:9, :]
+        act0 = rays[9:10, :]
         B = d.shape[1]
         f32 = jnp.float32
         zeros = jnp.zeros((1, B), f32)
@@ -170,7 +203,7 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int,
             act = act_f > 0.5
             p = o + d * v                          # [3, B]
             p8 = jnp.concatenate([p, jnp.zeros((5, B), f32)], axis=0)
-            f = _mlp(p8.astype(jnp.bfloat16), weights, layout, final_tanh)
+            f = _mlp(p8.astype(jnp.bfloat16), w_refs, layout, final_tanh)
 
             better = act & (f < min_sdf)
             min_sdf = jnp.where(better, f, min_sdf)

@@ -245,56 +245,106 @@ def render_rays(
     trace = _trace(march_fn, _sg(origins), _sg(dirs), cfg, init_depth, init_active)
     trace = jax.tree_util.tree_map(_sg, trace)
 
-    d0 = trace.depth
-    # ONE differentiable decoder eval serves both outputs: hit rays anchor
-    # at the converged surface point (depth + near-zero margin), miss rays
-    # at their recorded min-SDF point (silhouette margin — SURVEY.md §3.2:
-    # "the silhouette's min-SDF sample is recomputed differentiably at its
-    # recorded point").
-    anchor = jnp.where(trace.hit, d0, trace.depth_at_min)
-    p_surf = origins + anchor[:, None] * dirs      # origins/dirs live (pose grads)
-    s = sdf_fn(latent, p_surf)                     # precise VALUE (depth anchor)
     # Spatial gradient (normals + IFT denominator): precision-insensitive
     # (normalized / stop-gradient'ed) — take it from the cheap march
     # function when one exists instead of the full-precision decoder.
     g_fn = march_fn if march_fn is not None else (
         lambda p: sdf_fn(_sg(latent), p)
     )
-    _, pullback = jax.vjp(g_fn, _sg(p_surf))
-    (g,) = pullback(jnp.ones_like(s))
-    if cfg.grad.mode == "ift":
-        # f(z, o + d(z,o,v) v) == 0  =>  dd = -df / (grad_x f . v)
-        denom = jnp.sum(_sg(g) * _sg(dirs), axis=-1)
-        denom = jnp.minimum(denom, -cfg.grad.ift_min_denom)  # front-facing: < 0
-        # extra Newton refinements (stop-grad, frozen denominator) let a
-        # loose-eps bf16 march still land on the fp32 surface; the LAST
-        # step stays differentiable
-        for _ in range(max(cfg.grad.polish_iters - 1, 0)):
-            d0 = _sg(jnp.where(trace.hit, d0 - s / denom, d0))
-            p_surf = origins + jnp.where(trace.hit, d0, anchor)[:, None] * dirs
-            s = sdf_fn(latent, p_surf)
-        depth = d0 - s / denom
-    else:  # "last_step" (DIST default): one unit marching step
-        depth = d0 + s
 
-    depth = jnp.where(trace.hit, depth, cfg.background_depth)
-    min_sdf = s
+    def compose(o, v, d0, anchor, hit):
+        """Differentiable composition at any ray width.
 
-    # Normals: grad_x f at the surface, normalized. Differentiable w.r.t.
-    # latent (useful for normal-map losses); central differences optional.
-    if cfg.normal_eps > 0.0:
-        eps = cfg.normal_eps
-        offs = jnp.array(
-            [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
-            p_surf.dtype,
-        ) * eps
-        probe = (p_surf[:, None, :] + offs[None, :, :]).reshape(-1, 3)
-        sv = sdf_fn(latent, probe).reshape(-1, 6)
-        g = jnp.stack(
-            [sv[:, 0] - sv[:, 1], sv[:, 2] - sv[:, 3], sv[:, 4] - sv[:, 5]], axis=-1
-        ) / (2.0 * eps)
-    normal = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
-    normal = jnp.where(trace.hit[:, None], normal, 0.0)
+        ONE differentiable decoder eval serves both outputs: hit rays
+        anchor at the converged surface point (depth + near-zero margin),
+        miss rays at their recorded min-SDF point (silhouette margin —
+        SURVEY.md §3.2: "the silhouette's min-SDF sample is recomputed
+        differentiably at its recorded point")."""
+        p_surf = o + anchor[:, None] * v           # o/v live (pose grads)
+        s = sdf_fn(latent, p_surf)                 # precise VALUE (depth anchor)
+        _, pullback = jax.vjp(g_fn, _sg(p_surf))
+        (g,) = pullback(jnp.ones_like(s))
+        if cfg.grad.mode == "ift":
+            # f(z, o + d(z,o,v) v) == 0  =>  dd = -df / (grad_x f . v)
+            denom = jnp.sum(_sg(g) * _sg(v), axis=-1)
+            denom = jnp.minimum(denom, -cfg.grad.ift_min_denom)  # front-facing: < 0
+            # extra Newton refinements (stop-grad, frozen denominator) let a
+            # loose-eps bf16 march still land on the fp32 surface; the LAST
+            # step stays differentiable
+            for _ in range(max(cfg.grad.polish_iters - 1, 0)):
+                d0 = _sg(jnp.where(hit, d0 - s / denom, d0))
+                p_surf = o + jnp.where(hit, d0, anchor)[:, None] * v
+                s = sdf_fn(latent, p_surf)
+            depth = d0 - s / denom
+        else:  # "last_step" (DIST default): one unit marching step
+            depth = d0 + s
+        depth = jnp.where(hit, depth, cfg.background_depth)
+
+        # Normals: grad_x f at the surface, normalized. Differentiable
+        # w.r.t. latent (normal-map losses); central differences optional.
+        if cfg.normal_eps > 0.0:
+            eps = cfg.normal_eps
+            offs = jnp.array(
+                [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1],
+                 [0, 0, -1]],
+                p_surf.dtype,
+            ) * eps
+            probe = (p_surf[:, None, :] + offs[None, :, :]).reshape(-1, 3)
+            sv = sdf_fn(latent, probe).reshape(-1, 6)
+            g = jnp.stack(
+                [sv[:, 0] - sv[:, 1], sv[:, 2] - sv[:, 3], sv[:, 4] - sv[:, 5]],
+                axis=-1,
+            ) / (2.0 * eps)
+        normal = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+        normal = jnp.where(hit[:, None], normal, 0.0)
+        return depth, s, normal
+
+    n = origins.shape[0]
+    d0 = trace.depth
+    anchor = jnp.where(trace.hit, d0, trace.depth_at_min)
+    frac = cfg.grad.compact_frac
+    bucket = 0
+    if frac > 0 and n >= cfg.grad.compact_min:
+        bucket = min(((n // frac + 511) // 512) * 512, n)
+    if 0 < bucket < n:
+        # Hit-compacted recompute: the precise eval + the normals/IFT vjp
+        # only matter on HIT rays (~20% of a typical frame); misses only
+        # need a cheap differentiable margin. Sort hit-first (stop-grad
+        # permutation), run the precise path on a static bucket prefix,
+        # scatter back; lax.cond falls back to full width whenever hits
+        # overflow the bucket, so correctness never depends on the scene.
+        key = (~trace.hit).astype(jnp.int32)
+        pix = jnp.arange(n, dtype=jnp.int32)
+        _, pix_s = jax.lax.sort((key, pix), dimension=0, num_keys=1,
+                                is_stable=True)
+        idx_b = _sg(pix_s[:bucket])
+        n_hit = jnp.sum(trace.hit)
+
+        def bucket_branch():
+            take = lambda a: jnp.take(a, idx_b, axis=0)
+            d_b, s_b, n_b = compose(
+                take(origins), take(dirs), take(d0), take(anchor),
+                take(trace.hit),
+            )
+            depth = jnp.full((n,), cfg.background_depth, d_b.dtype)
+            depth = depth.at[idx_b].set(d_b)
+            # margins for the remainder: one cheap bf16 pass (misses feed
+            # loss margins, not the 1e-3 depth-parity anchor); pruned by
+            # XLA when min_sdf is unused downstream (depth-only losses)
+            cheap_fn = getattr(sdf_fn, "cheap", sdf_fn)
+            p_anchor = origins + anchor[:, None] * dirs
+            min_sdf = cheap_fn(latent, p_anchor).at[idx_b].set(s_b)
+            normal = jnp.zeros((n, 3), n_b.dtype).at[idx_b].set(n_b)
+            return depth, min_sdf, normal
+
+        def full_branch():
+            return compose(origins, dirs, d0, anchor, trace.hit)
+
+        depth, min_sdf, normal = jax.lax.cond(
+            n_hit <= bucket, bucket_branch, full_branch
+        )
+    else:
+        depth, min_sdf, normal = compose(origins, dirs, d0, anchor, trace.hit)
 
     p_out = origins + depth[:, None] * dirs
     return RenderOutput(

