@@ -67,7 +67,8 @@ def main():
     params, bench_latent = get_or_fit_cached(cache, target, dcfg, steps=1500)
     fast = not args.naive
     on_tpu = (not args.cpu) and jax.devices()[0].platform != "cpu"
-    march_kw = dict(convergence_eps=2e-3, depth_eps=5e-4) if fast else {}
+    march_kw = dict(convergence_eps=2e-3, depth_eps=5e-4,
+                    c2f_strides=(16, 4), c2f_coarse_steps=16) if fast else {}
     cfg = RenderConfig(
         img_h=img, img_w=img,
         march=MarchConfig(

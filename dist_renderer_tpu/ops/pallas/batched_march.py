@@ -273,10 +273,11 @@ def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int
             _, outc = jax.lax.while_loop(loop_cond, loop_body, (0, carry0))
             (d_out, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
              last_f, steps, unres_f) = outc
+            brk = ((d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)).astype(f32)
             out_ref[:, :] = jnp.concatenate(
                 [d_out, hit_f, min_sdf, d_at_min, last_f, steps,
                  jnp.maximum(act_f, unres_f),    # unresolved at exit
-                 jnp.zeros((1, B), f32)],
+                 brk],                           # owns a bracket at exit
                 axis=0,
             )
 
@@ -460,9 +461,10 @@ def _make_persistent_kernel(shared: SharedDecoder, march: MarchConfig,
             _, outc = jax.lax.while_loop(loop_cond, loop_body, (0, carry0))
             (d_out, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
              last_f, steps, unres_f) = outc
+            brk = ((d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)).astype(f32)
             out_v[:, :] = jnp.concatenate(
                 [d_out, hit_f, min_sdf, d_at_min, last_f, steps,
-                 jnp.maximum(act_f, unres_f), jnp.zeros((1, B), f32)],
+                 jnp.maximum(act_f, unres_f), brk],
                 axis=0,
             )
             cout = pltpu.make_async_copy(
@@ -553,12 +555,12 @@ def pallas_sphere_trace_persistent(
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # alive
-            pl.BlockSpec(memory_space=pltpu.ANY),         # rays (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),         # bias cols (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),         # rays (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),         # bias cols (HBM)
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
-            pl.BlockSpec(memory_space=pltpu.ANY),         # defaults -> out
+            pl.BlockSpec(memory_space=pl.ANY),         # defaults -> out
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         input_output_aliases={3 + len(weights): 0},
         scratch_shapes=[
@@ -589,6 +591,7 @@ def pallas_sphere_trace_persistent(
         live_counts=live_counts_from_steps(steps_i, march.max_steps),
         unresolved=out[6] > 0.5,
         steps_per_ray=steps_i,
+        bracketed=out[7] > 0.5,
     )
 
 
@@ -686,6 +689,7 @@ def pallas_sphere_trace_batched(
         live_counts=live_counts_from_steps(steps_i, march.max_steps),
         unresolved=out[6] > 0.5,
         steps_per_ray=steps_i,
+        bracketed=out[7] > 0.5,
     )
 
 
@@ -733,6 +737,7 @@ def batched_trace_padded(
         live_counts=res.live_counts, unresolved=unflat(res.unresolved),
         steps_per_ray=res.steps_per_ray,   # kept PADDED+BLOCKED: residency
                                            # telemetry needs kernel layout
+        bracketed=unflat(res.bracketed),
     )
 
 
@@ -749,8 +754,11 @@ def fine_march_rounds(
     interpret: bool = False,
     diag: Optional[dict] = None,
     live_frac: int = 2,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    return_anchor: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Multi-round straggler-rebinned fine march; outputs in PIXEL order.
+    return_anchor=True additionally returns depth_at_min (the recorded
+    min-|SDF| distance — the renderer's miss-ray margin anchor).
 
     Why rounds: block residency is the MAX over a block's 512 rays, so a
     few 30-50-step stragglers hold class-sorted blocks at ~16 steps where
@@ -803,6 +811,8 @@ def fine_march_rounds(
     live0 = key_s != 2
     hit0 = jnp.zeros((f, n), f32)
     msdf0 = jnp.full((f, n), jnp.inf, f32)
+    brk0 = jnp.zeros((f, n), bool)
+    dam0 = jnp.where(jnp.isfinite(d0), d0, 0.0)  # skip rays: coarse anchor
 
     caps = tuple(round_caps)
 
@@ -810,14 +820,14 @@ def fine_march_rounds(
         """All rounds + repacks confined to the first `width` columns.
         Assumes every live ray is within that prefix. Returns full-width
         (d, hit_f, msdf, pix_s)."""
-        v_s, d, hit_f, msdf, pix_s, o_s, live = state
+        v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam = state
         # slice the working prefix once; the dead suffix rejoins at the end
-        sfx = lambda a: a[:, width:]
         suffix = (d[:, width:], hit_f[:, width:], msdf[:, width:],
-                  pix_s[:, width:])
-        v_s, d, hit_f, msdf, pix_s, live = (
+                  pix_s[:, width:], dam[:, width:])
+        v_s, d, hit_f, msdf, pix_s, live, brk, dam = (
             v_s[:, :width], d[:, :width], hit_f[:, :width],
             msdf[:, :width], pix_s[:, :width], live[:, :width],
+            brk[:, :width], dam[:, :width],
         )
         if not shared_origin:
             o_s = o_s[:, :width]
@@ -827,7 +837,7 @@ def fine_march_rounds(
                 return jnp.broadcast_to(o_s, (f, r, 3))
             return o_s[:, :r]
 
-        def run_round(ri, r, m, salvage, d, live, hit_f, msdf):
+        def run_round(ri, r, m, salvage, d, live, hit_f, msdf, brk, dam):
             """March the first r columns (current order); merge back."""
             res = batched_trace_padded(
                 shared, bank, o_slice(r), v_s[:, :r], m,
@@ -841,49 +851,59 @@ def fine_march_rounds(
                 jnp.where(was, part, full[:, :r]))
             d = upd(d, res.depth)
             hit_f = upd(hit_f, jnp.maximum(hit_f[:, :r], res.hit.astype(f32)))
+            dam = dam.at[:, :r].set(
+                jnp.where(was & (res.min_sdf <= msdf[:, :r]),
+                          res.depth_at_min, dam[:, :r]))
             msdf = upd(msdf, jnp.minimum(msdf[:, :r], res.min_sdf))
+            brk = upd(brk, res.bracketed)
             live = upd(live, res.unresolved)
-            return d, live, hit_f, msdf
+            return d, live, hit_f, msdf, brk, dam
 
-        def repack(v_s, d, hit_f, msdf, pix_s, o_s, live):
-            """Live-first re-pack of the prefix (one payload sort)."""
-            k2 = (~live).astype(jnp.int32)
+        def repack(v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam):
+            """Difficulty-grouped live-first re-pack (one payload sort):
+            open (still aggressive-marching) survivors first, bracketed
+            (a few cheap secant steps) next, dead last — blocks pay the
+            max over their rays, so grouping by remaining work keeps
+            them homogeneous."""
+            k2 = jnp.where(~live, 2, jnp.where(brk, 1, 0)).astype(jnp.int32)
             k2_s, pays = sort_by(k2, [v_s[..., 0], v_s[..., 1], v_s[..., 2],
-                                      d, hit_f, msdf, pix_s] + (
+                                      d, hit_f, msdf, pix_s, brk, dam] + (
                 [] if shared_origin else
                 [o_s[..., 0], o_s[..., 1], o_s[..., 2]]))
             v_s = jnp.stack(pays[0:3], axis=-1)
-            d, hit_f, msdf, pix_s = pays[3], pays[4], pays[5], pays[6]
+            d, hit_f, msdf, pix_s, brk, dam = (pays[3], pays[4], pays[5],
+                                               pays[6], pays[7], pays[8])
             if not shared_origin:
-                o_s = jnp.stack(pays[7:10], axis=-1)
-            live = k2_s == 0  # live-first prefix in the new order
-            return v_s, d, hit_f, msdf, pix_s, o_s, live
+                o_s = jnp.stack(pays[9:12], axis=-1)
+            live = k2_s != 2  # live-first prefix in the new order
+            return v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam
 
         for ri, cap in enumerate(caps):
             m = _dc.replace(march, max_steps=min(cap, march.max_steps))
             if ri > 0:
-                v_s, d, hit_f, msdf, pix_s, o_s, live = repack(
-                    v_s, d, hit_f, msdf, pix_s, o_s, live)
+                v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam = repack(
+                    v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam)
                 bucket = min(_round_up(max(n // 4, block), block), width)
             else:
                 bucket = width
-            d, live, hit_f, msdf = run_round(ri, bucket, m, False,
-                                             d, live, hit_f, msdf)
+            d, live, hit_f, msdf, brk, dam = run_round(
+                ri, bucket, m, False, d, live, hit_f, msdf, brk, dam)
 
         # FINAL round: full remaining budget; bucketed w/ overflow fallback
-        v_s, d, hit_f, msdf, pix_s, o_s, live = repack(
-            v_s, d, hit_f, msdf, pix_s, o_s, live)
+        v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam = repack(
+            v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam)
         bucket = min(_round_up(max(n // 8, block), block), width)
 
         if bucket >= width or diag is not None:
             # diag mode: cond branches may not write telemetry (the tracer
             # would leak out of the cond) — run unconditionally
-            d, live, hit_f, msdf = run_round(len(caps), width, march, True,
-                                             d, live, hit_f, msdf)
+            d, live, hit_f, msdf, brk, dam = run_round(
+                len(caps), width, march, True, d, live, hit_f, msdf, brk,
+                dam)
         else:
             max_live = jnp.max(jnp.sum(live, axis=1))
-            state2 = (d, live, hit_f, msdf)
-            d, live, hit_f, msdf = jax.lax.cond(
+            state2 = (d, live, hit_f, msdf, brk, dam)
+            d, live, hit_f, msdf, brk, dam = jax.lax.cond(
                 max_live > bucket,
                 lambda s: run_round(len(caps), width, march, True, *s),
                 lambda s: run_round(len(caps), bucket, march, True, *s),
@@ -891,15 +911,16 @@ def fine_march_rounds(
             )
         cat = lambda a, sfx: jnp.concatenate([a, sfx], axis=1)
         return (cat(d, suffix[0]), cat(hit_f, suffix[1]),
-                cat(msdf, suffix[2]), cat(pix_s, suffix[3]))
+                cat(msdf, suffix[2]), cat(pix_s, suffix[3]),
+                cat(dam, suffix[4]))
 
-    state = (v_s0, d0, hit0, msdf0, pix_s0, o_s0, live0)
+    state = (v_s0, d0, hit0, msdf0, pix_s0, o_s0, live0, brk0, dam0)
     prefix = min(_round_up(max(n // max(live_frac, 1), block), block), n)
     if prefix >= n or diag is not None:
-        d, hit_f, msdf, pix_s = rounds(n, state)
+        d, hit_f, msdf, pix_s, dam = rounds(n, state)
     else:
         max_live0 = jnp.max(jnp.sum(live0, axis=1))
-        d, hit_f, msdf, pix_s = jax.lax.cond(
+        d, hit_f, msdf, pix_s, dam = jax.lax.cond(
             max_live0 > prefix,
             lambda s: rounds(n, s),
             lambda s: rounds(prefix, s),
@@ -907,7 +928,9 @@ def fine_march_rounds(
         )
 
     # one unsort back to pixel order, results as payloads
-    _, outs = sort_by(pix_s, [d, hit_f, msdf])
+    _, outs = sort_by(pix_s, [d, hit_f, msdf, dam])
+    if return_anchor:
+        return outs[0], outs[1] > 0.5, outs[2], outs[3]
     return outs[0], outs[1] > 0.5, outs[2]
 
 
@@ -928,7 +951,8 @@ def render_batched_c2f(
     shared_origin: bool = False,
     with_diag: bool = False,
     live_frac: int = 2,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    return_anchor: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
     through the multi-frame fused kernel; sorting is per frame so blocks
@@ -937,7 +961,9 @@ def render_batched_c2f(
     Returns (depth [F, N], hit [F, N], min_sdf [F, N]); with_diag=True
     appends a dict of straggler telemetry: per-kernel-block march
     residency (max steps over the block's rays — what the block actually
-    pays) and per-ray step counts for each phase."""
+    pays) and per-ray step counts for each phase. return_anchor=True
+    appends depth_at_min (miss-ray margin anchors — what the single-frame
+    renderer needs to route its whole trace through this path)."""
     import dataclasses as _dc
 
     f = origins.shape[0]
@@ -1014,10 +1040,11 @@ def render_batched_c2f(
         width_full = up(jnp.where(jnp.isfinite(dmax - dmin), dmax - dmin, jnp.inf))
 
     if seed_full is None:  # no valid strides: plain batched march
-        d, hit, msdf, _, _ = batched_trace(
+        d, hit, msdf, dam, _ = batched_trace(
             origins, dirs, march, None, jnp.ones((f, n), bool), tag="fine"
         )
-        return (d, hit, msdf, diag) if with_diag else (d, hit, msdf)
+        out = (d, hit, msdf) + ((dam,) if return_anchor else ())
+        return out + ((diag,) if with_diag else ())
 
     seed = seed_full.reshape(f, n)
     hit_any = hit_any_full.reshape(f, n)
@@ -1035,14 +1062,21 @@ def render_batched_c2f(
         diag["plan_seed"] = seed
 
     o_in = origins[:, :1, :] if shared_origin else origins
-    d, hit, msdf = fine_march_rounds(
+    fine = fine_march_rounds(
         shared, bank, o_in, dirs, key, init_depth, march,
         block=block, round_caps=round_caps, interpret=interpret,
         diag=diag if with_diag else None, live_frac=live_frac,
+        return_anchor=return_anchor,
     )
+    d, hit, msdf = fine[:3]
     # skip rays never marched: their silhouette margin is the coarse one
     msdf = jnp.where(skip, margin, msdf)
-    return (d, hit, msdf, diag) if with_diag else (d, hit, msdf)
+    out = (d, hit, msdf)
+    if return_anchor:
+        # skip rays' margin anchor is the coarse min-SDF point
+        dam = jnp.where(skip, anchor, fine[3])
+        out = out + (dam,)
+    return out + ((diag,) if with_diag else ())
 
 
 def render_depth_batched(

@@ -272,6 +272,7 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int,
         (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
          last_f, steps, unres_f) = out
 
+        brk = ((d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)).astype(f32)
         res = jnp.concatenate(
             [
                 d,
@@ -281,7 +282,7 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int,
                 last_f,
                 steps,
                 jnp.maximum(act_f, unres_f),        # unresolved at exit
-                jnp.zeros((1, d.shape[1]), f32),
+                brk,                                # owns a bracket at exit
             ],
             axis=0,
         )                                           # [8, B]
@@ -395,10 +396,11 @@ def pallas_sphere_trace(
         live_counts=live_counts_from_steps(steps_i, march.max_steps),
         unresolved=unresolved,
         steps_per_ray=steps_i,
+        bracketed=out[7, :n] > 0.5,
     )
 
 
-def pallas_sphere_trace_two_round(
+def pallas_sphere_trace_rounds(
     packed: PackedDecoder,
     origins: jax.Array,
     dirs: jax.Array,
@@ -407,101 +409,162 @@ def pallas_sphere_trace_two_round(
     block: int = 512,
     interpret: bool = False,
     init_active: Optional[jax.Array] = None,
-    cap: int = 8,
+    round_caps: Tuple[int, ...] = (4, 12),
+    live_frac: int = 2,
 ) -> TraceResult:
-    """Two-round straggler re-binning for the single-frame fused march.
+    """Multi-round straggler re-binning for the single-frame fused march
+    (the 1-D sibling of batched_march.fine_march_rounds).
 
     Block residency = max over the block's 512 rays, so a few 30-50-step
-    stragglers dominate class-sorted blocks (measured mean residency ~16
-    vs ray mean ~4 at 512^2 — scripts/diag_binning.py). Round A caps every
-    ray at `cap` steps (no midpoint salvage); survivors are densely
-    re-packed live-first (counting sort) and finish in round B with the
-    remaining budget (+8 to re-establish the bracket, which does not carry
-    across rounds). Simulated residency on recorded true step counts:
-    16451 -> 9318 at cap=8."""
+    stragglers dominate class-sorted blocks. Round i caps every live ray
+    at round_caps[i] steps (no midpoint salvage — bracketed-but-
+    unconverged rays REQUEUE); survivors re-pack densely live-first (one
+    payload sort) and later rounds march a shrinking static prefix; the
+    final round gets the full budget. When the caller provides
+    init_active (the c2f skip class, sorted last by the renderer), round
+    0 marches only the first n/live_frac columns with a lax.cond
+    full-width fallback — dead blocks cost ~11 us of grid machinery each
+    even when empty (scripts/diag_kernel.py), so not launching them is
+    the only cure."""
     import dataclasses as _dc
 
     from dist_renderer_tpu.ops.tracer import live_counts_from_steps
 
     n = origins.shape[0]
-    march_a = _dc.replace(march, max_steps=min(cap, march.max_steps))
-    res_a = pallas_sphere_trace(
-        packed, origins, dirs, march_a, init_depth,
-        block=block, interpret=interpret, init_active=init_active,
-        salvage=False,
+
+    # same ray init as pallas_sphere_trace, so rays that never enter any
+    # kernel (c2f skip class, non-entering rays) carry the init-state
+    # outputs the renderer expects: depth/d_at_min at the seed anchor,
+    # geometric sphere margin as min_sdf
+    t_near, t_far, enters = ray_sphere_entry(
+        origins, dirs, march.sphere_radius, 0.0
     )
-    unres = res_a.unresolved
+    t_closest = jnp.maximum(-jnp.sum(origins * dirs, axis=-1), 0.0)
+    d0 = jnp.where(enters, t_near, t_closest).astype(jnp.float32)
+    if init_depth is not None:
+        seeded = jnp.isfinite(init_depth) & enters
+        d0 = jnp.where(seeded, jnp.maximum(init_depth, t_near), d0)
 
-    # live-first re-pack via ONE multi-operand sort (TPU gathers cost
-    # ~20 ms per 262k take; lax.sort moves key+payloads together for less
-    # than one gather — scripts/diag_glue.py)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    key = (~unres).astype(jnp.int32)
-    sorted_ = jax.lax.sort(
-        (key, origins[:, 0], origins[:, 1], origins[:, 2],
-         dirs[:, 0], dirs[:, 1], dirs[:, 2], res_a.depth, idx),
-        dimension=0, num_keys=1, is_stable=True,
+    # carried per-ray state, re-packed between rounds. Results merge into
+    # (d, hit, msdf, dam, lastf, unres, steps) in CURRENT order; pix
+    # carries the original position for the final unsort.
+    pix = jnp.arange(n, dtype=jnp.int32)
+    state = dict(
+        o=origins, v=dirs, d=d0, pix=pix,
+        seed=(init_depth if init_depth is not None
+              else jnp.full((n,), jnp.nan, jnp.float32)),
+        live=((enters if init_active is None else (enters & init_active))),
+        hit=jnp.zeros((n,), bool),
+        msdf=jnp.full((n,), jnp.inf, jnp.float32),
+        dam=d0,
+        lastf=jnp.full((n,), jnp.inf, jnp.float32),
+        steps=jnp.zeros((n,), jnp.int32),
+        unres=jnp.zeros((n,), bool),
+        started=jnp.zeros((n,), bool),  # has a round marched this ray?
+        brk=jnp.zeros((n,), bool),      # owns a bracket (difficulty key)
     )
-    key_s = sorted_[0]
-    o_s = jnp.stack(sorted_[1:4], axis=-1)
-    v_s = jnp.stack(sorted_[4:7], axis=-1)
-    d_s = sorted_[7]
-    idx_s = sorted_[8]
-    live_s = key_s == 0
 
-    march_b = _dc.replace(march, max_steps=max(march.max_steps - cap + 8, 8))
-
-    def round_b(r):
+    def run_round(st, r, m, salvage):
+        """March the first r columns; merge results into full state."""
         res = pallas_sphere_trace(
-            packed, o_s[:r], v_s[:r], march_b, d_s[:r],
-            block=block, interpret=interpret, init_active=live_s[:r],
+            packed, st["o"][:r], st["v"][:r], m,
+            jnp.where(st["started"][:r], st["d"][:r], st["seed"][:r]),
+            block=block, interpret=interpret, init_active=st["live"][:r],
+            salvage=salvage,
         )
-        pad = lambda a, fill: jnp.concatenate(
-            [a, jnp.full((n - r,), fill, a.dtype)]
-        ) if r < n else a
-        return (pad(res.depth, 0.0), pad(res.hit, False),
-                pad(res.min_sdf, jnp.inf), pad(res.depth_at_min, 0.0),
-                pad(res.last_sdf, jnp.inf), pad(res.unresolved, False),
-                pad(res.steps_per_ray, 0))
+        was = st["live"][:r]
+        upd = lambda full, part: full.at[:r].set(
+            jnp.where(was, part, full[:r]))
+        st = dict(st)
+        st["d"] = upd(st["d"], res.depth)
+        st["hit"] = upd(st["hit"], st["hit"][:r] | res.hit)
+        st["msdf"] = upd(st["msdf"], jnp.minimum(st["msdf"][:r], res.min_sdf))
+        better = was & (res.min_sdf <= st["msdf"][:r])
+        st["dam"] = st["dam"].at[:r].set(
+            jnp.where(better, res.depth_at_min, st["dam"][:r]))
+        st["lastf"] = upd(st["lastf"], res.last_sdf)
+        st["steps"] = st["steps"].at[:r].set(
+            st["steps"][:r] + jnp.where(was, res.steps_per_ray, 0))
+        st["unres"] = upd(st["unres"], res.unresolved)
+        st["started"] = st["started"].at[:r].set(st["started"][:r] | was)
+        st["brk"] = upd(st["brk"], res.bracketed)
+        st["live"] = upd(st["live"], res.unresolved)
+        return st
 
+    def repack(st):
+        """Difficulty-grouped live-first re-pack (one payload sort):
+        open (still aggressive-marching) survivors first, bracketed
+        (a few cheap secant steps) next, dead last — blocks pay the max
+        over their rays, so grouping by remaining work keeps them
+        homogeneous."""
+        key = jnp.where(~st["live"], 2,
+                        jnp.where(st["brk"], 1, 0)).astype(jnp.int32)
+        pays = [st["o"][:, 0], st["o"][:, 1], st["o"][:, 2],
+                st["v"][:, 0], st["v"][:, 1], st["v"][:, 2],
+                st["d"], st["pix"], st["seed"],
+                st["hit"], st["msdf"], st["dam"], st["lastf"],
+                st["steps"], st["unres"], st["started"], st["brk"]]
+        out = jax.lax.sort((key,) + tuple(pays), dimension=0, num_keys=1,
+                           is_stable=True)
+        k_s, p = out[0], list(out[1:])
+        return dict(
+            o=jnp.stack(p[0:3], axis=-1), v=jnp.stack(p[3:6], axis=-1),
+            d=p[6], pix=p[7], seed=p[8], hit=p[9], msdf=p[10], dam=p[11],
+            lastf=p[12], steps=p[13], unres=p[14], started=p[15],
+            brk=p[16], live=k_s != 2,
+        )
+
+    caps = tuple(round_caps)
+    bucket0 = min(_round_up(max(n // max(live_frac, 1), block), block), n)
+    for ri, cap in enumerate(caps):
+        m = _dc.replace(march, max_steps=min(cap, march.max_steps))
+        if ri == 0:
+            if init_active is None or bucket0 >= n:
+                state = run_round(state, n, m, False)
+            else:
+                n_live = jnp.sum(state["live"])
+                state = jax.lax.cond(
+                    n_live > bucket0,
+                    lambda s: run_round(s, n, m, False),
+                    lambda s: run_round(s, bucket0, m, False),
+                    state,
+                )
+        else:
+            state = repack(state)
+            bucket = min(_round_up(max(n // 4, block), block), n)
+            state = run_round(state, bucket, m, False)
+
+    # FINAL round: full remaining budget, bucketed with overflow fallback
+    state = repack(state)
     bucket = min(_round_up(max(n // 8, block), block), n)
     if bucket >= n:
-        d_b, hit_b, ms_b, dam_b, lf_b, un_b, st_b = round_b(n)
+        state = run_round(state, n, march, True)
     else:
-        max_live = jnp.sum(live_s)
-        d_b, hit_b, ms_b, dam_b, lf_b, un_b, st_b = jax.lax.cond(
-            max_live > bucket, lambda: round_b(n), lambda: round_b(bucket)
+        n_live = jnp.sum(state["live"])
+        state = jax.lax.cond(
+            n_live > bucket,
+            lambda s: run_round(s, n, march, True),
+            lambda s: run_round(s, bucket, march, True),
+            state,
         )
 
-    # merge in sorted order, then ONE unsort keyed on the carried index
-    merged = jax.lax.sort(
-        (idx_s,
-         jnp.where(live_s, d_b, d_s),
-         jnp.where(live_s, hit_b, False),
-         jnp.where(live_s, ms_b, jnp.inf),
-         jnp.where(live_s, dam_b, 0.0),
-         jnp.where(live_s, lf_b, jnp.inf),
-         jnp.where(live_s, un_b, False),
-         jnp.where(live_s, st_b, 0)),
+    # one unsort back to original order
+    out = jax.lax.sort(
+        (state["pix"], state["d"], state["hit"], state["msdf"],
+         state["dam"], state["lastf"], state["unres"], state["steps"]),
         dimension=0, num_keys=1, is_stable=False,
     )
-    d_p, hit_p, ms_p, dam_p, lf_p, un_p, st_p = merged[1:]
-
-    depth = jnp.where(unres, d_p, res_a.depth)
-    hit = res_a.hit | (unres & hit_p)
-    msdf_b2 = jnp.where(unres, ms_p, jnp.inf)
-    better_b = unres & (msdf_b2 < res_a.min_sdf)
-    steps = res_a.steps_per_ray + jnp.where(unres, st_p, 0)
+    _, d, hit, msdf, dam, lastf, unres, steps = out
+    # geometric sphere margin for rays whose march never sampled the SDF
+    p_closest = origins + t_closest[:, None] * dirs
+    geo_margin = jnp.linalg.norm(p_closest, axis=-1) - march.sphere_radius
+    msdf = jnp.where(enters, msdf, geo_margin)
+    msdf = jnp.where(jnp.isinf(msdf) | (msdf > _POS_BIG / 2), geo_margin, msdf)
     return TraceResult(
-        depth=depth,
-        hit=hit,
-        min_sdf=jnp.where(unres, jnp.minimum(res_a.min_sdf, msdf_b2), res_a.min_sdf),
-        depth_at_min=jnp.where(better_b, dam_p, res_a.depth_at_min),
-        last_sdf=jnp.where(unres, lf_p, res_a.last_sdf),
+        depth=d, hit=hit, min_sdf=msdf, depth_at_min=dam, last_sdf=lastf,
         steps_used=jnp.max(steps),
         live_counts=live_counts_from_steps(steps, march.max_steps),
-        unresolved=jnp.where(unres, un_p, False),
-        steps_per_ray=steps,
+        unresolved=unres, steps_per_ray=steps,
     )
 
 
@@ -512,23 +575,23 @@ class PallasMarchFn:
 
     def __init__(self, folded: Sequence[FoldedLayer], cfg: DecoderConfig,
                  point_fn, block: int = 512, two_round: bool = True,
-                 cap: int = 8):
+                 round_caps: Tuple[int, ...] = (4, 12)):
         self.packed = pack_folded(folded, cfg)
         self.point_fn = point_fn
         self.block = block
         self.two_round = two_round
-        self.cap = cap
+        self.round_caps = round_caps
 
     def __call__(self, p):
         return self.point_fn(p)
 
     def trace(self, origins, dirs, march, init_depth=None, init_active=None,
               interpret=False):
-        if self.two_round and march.max_steps > 2 * self.cap:
-            return pallas_sphere_trace_two_round(
+        if self.two_round and march.max_steps > 2 * max(self.round_caps):
+            return pallas_sphere_trace_rounds(
                 self.packed, origins, dirs, march, init_depth,
                 block=self.block, interpret=interpret,
-                init_active=init_active, cap=self.cap,
+                init_active=init_active, round_caps=self.round_caps,
             )
         return pallas_sphere_trace(
             self.packed, origins, dirs, march, init_depth,

@@ -95,7 +95,11 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
     hit_all_full = None
     anchor_full = None
 
-    # coarse levels only inform classification/seeding: cap their march
+    # coarse levels only inform classification/seeding: cap their march.
+    # (Relaxing coarse convergence eps was tried and REGRESSED: block
+    # residency is the max over a block's rays, so cheaper per-ray coarse
+    # convergence saves no block time, while the looser depth error can
+    # exceed the flat-window backoff and poison tight seeds.)
     coarse_cfg = _dc.replace(
         cfg,
         march=_dc.replace(
@@ -232,6 +236,7 @@ def render_rays(
     march_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     init_depth: Optional[jax.Array] = None,
     init_active: Optional[jax.Array] = None,
+    trace: Optional[TraceResult] = None,
 ) -> RenderOutput:
     """Trace + differentiable composition for a flat ray batch [N, 3].
 
@@ -239,10 +244,15 @@ def render_rays(
     loop (e.g. the latent-folded bf16 decoder, models/folded.py). The
     differentiable recompute always goes through `sdf_fn` in fp32, so a
     low-precision march costs no gradient accuracy — the IFT/last-step
-    eval re-anchors the depth on the fp32 surface."""
+    eval re-anchors the depth on the fp32 surface.
+
+    trace: optional precomputed march result (e.g. from the batched c2f
+    pipeline) — only the differentiable composition runs here then."""
     if march_fn is None:
         march_fn = lambda p: sdf_fn(_sg(latent), p)
-    trace = _trace(march_fn, _sg(origins), _sg(dirs), cfg, init_depth, init_active)
+    if trace is None:
+        trace = _trace(march_fn, _sg(origins), _sg(dirs), cfg, init_depth,
+                       init_active)
     trace = jax.tree_util.tree_map(_sg, trace)
 
     # Spatial gradient (normals + IFT denominator): precision-insensitive
@@ -372,7 +382,20 @@ def render(
     march_fn = None
     if march_fn_factory is not None:
         march_fn = march_fn_factory(_sg(latent))
-    if cfg.march.coarse_to_fine and cfg.c2f_strides_valid():
+    if (cfg.use_pallas and cfg.march.coarse_to_fine and cfg.march.c2f_classify
+            and march_fn is not None and hasattr(march_fn, "trace_frame")):
+        # whole plan + march through the batched c2f machinery (F=1):
+        # multi-round straggler re-binning, live-prefix launches, one
+        # class sort — measurably faster than the plan/trace split below
+        trace = jax.tree_util.tree_map(
+            _sg,
+            march_fn.trace_frame(
+                _sg(origins), _sg(dirs), cfg.march, (cfg.img_h, cfg.img_w)
+            ),
+        )
+        out = render_rays(sdf_fn, latent, origins, dirs, cfg,
+                          march_fn=march_fn, trace=trace)
+    elif cfg.march.coarse_to_fine and cfg.c2f_strides_valid():
         mf = march_fn or (lambda p: sdf_fn(_sg(latent), p))
         plan = jax.tree_util.tree_map(
             _sg, c2f_plan(mf, _sg(origins), _sg(dirs), cfg)
@@ -419,9 +442,48 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
     def factory(z):
         point_fn = make_point_fn(params, z, dcfg, dtype)
         if cfg.use_pallas:
+            from dist_renderer_tpu.ops.pallas.batched_march import (
+                render_batched_c2f,
+            )
             from dist_renderer_tpu.ops.pallas.fused_march import PallasMarchFn
 
-            return PallasMarchFn(fold_latent(params, z, dcfg), dcfg, point_fn)
+            mf = PallasMarchFn(fold_latent(params, z, dcfg), dcfg, point_fn)
+
+            def trace_frame(origins, dirs, march, img_hw, interpret=False):
+                """Single-frame plan + march through the batched c2f
+                pipeline (F=1): multi-round re-binning + live-prefix
+                launches beat the split c2f_plan/trace path. Assumes the
+                pinhole shared-origin layout render() produces.
+
+                Inputs are stop-gradient'ed here: the march is
+                non-differentiable by design, and the persistent kernel's
+                input_output_aliases has no JVP rule — a live tangent
+                reaching it is an error, not just waste."""
+                origins = _sg(origins)
+                dirs = _sg(dirs)
+                d, hit, msdf, dam = render_batched_c2f(
+                    params, dcfg, z[None], origins[None], dirs[None],
+                    img_hw, march,
+                    strides=march.c2f_strides,
+                    coarse_steps=march.c2f_coarse_steps,
+                    backoff=march.c2f_backoff,
+                    shared_origin=True, return_anchor=True,
+                    interpret=interpret,
+                )
+                n = d.shape[1]
+                from dist_renderer_tpu.ops.tracer import TraceResult
+
+                return TraceResult(
+                    depth=d[0], hit=hit[0], min_sdf=msdf[0],
+                    depth_at_min=dam[0],
+                    last_sdf=jnp.zeros((n,), jnp.float32),
+                    steps_used=jnp.zeros((), jnp.int32),
+                    live_counts=jnp.zeros((march.max_steps,), jnp.int32),
+                    unresolved=jnp.zeros((n,), bool),
+                )
+
+            mf.trace_frame = trace_frame
+            return mf
         return point_fn
 
     return factory

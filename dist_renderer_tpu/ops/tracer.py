@@ -56,6 +56,12 @@ class TraceResult(NamedTuple):
     steps_per_ray: Optional[jax.Array] = None  # [N] int32 march steps each
                             # ray executed — block-residency/straggler
                             # telemetry (SURVEY.md §5 'Tracing/profiling')
+    bracketed: Optional[jax.Array] = None  # [N] bool: ray owns a sign-
+                            # change bracket at exit — unresolved+bracketed
+                            # rays need a few cheap secant steps, while
+                            # unresolved+open rays still aggressive-march;
+                            # the multi-round re-binning groups them so
+                            # blocks stay work-homogeneous
 
 
 def live_counts_from_steps(steps_per_ray: jax.Array, max_steps: int) -> jax.Array:

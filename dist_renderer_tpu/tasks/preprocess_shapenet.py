@@ -113,11 +113,8 @@ def preprocess_mesh(
             o, v = np.asarray(o), np.asarray(v)
             t = raycast_depth(verts, faces, o, v, use_native)
             mask = np.isfinite(t).reshape(img, img)
-            # normal-shaded stand-in texture: nearest-hit point re-cast per
-            # pixel is overkill for a Lambertian-style shade — headlight
-            # shading from depth gradients matches the synthetic generator
-            p = o + np.where(np.isfinite(t), t, 0.0)[:, None] * v
-            # cheap shading: dot(view dir, estimated normal) via depth slope
+            # headlight shading from depth slope: a cheap Lambertian-like
+            # stand-in texture (matches the synthetic generator's role)
             d_img = np.where(np.isfinite(t), t, 0.0).reshape(img, img)
             gy, gx = np.gradient(d_img)
             shade = 1.0 / np.sqrt(1.0 + 25.0 * (gx ** 2 + gy ** 2))

@@ -77,7 +77,9 @@ def main():
     params, latent = get_or_fit_cached(cache, lambda p: shape(None, p), dcfg, steps=1500)
 
     march = MarchConfig(max_steps=args.steps, coarse_to_fine=True,
-                        convergence_eps=2e-3, depth_eps=5e-4)
+                        convergence_eps=2e-3, depth_eps=5e-4,
+                        c2f_strides=tuple(args.strides),
+                        c2f_coarse_steps=args.coarse_steps)
     cam = Camera.looking_at((0.0, 0.0, -2.5), focal=img * 1.2, img_hw=(img, img))
     origins, dirs = pixel_rays(cam, img, img)
     n = origins.shape[0]

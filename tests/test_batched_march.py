@@ -117,3 +117,82 @@ def test_batched_matches_per_frame(decoder):
         if both.any():
             err = np.abs(np.asarray(depth_b[i]) - np.asarray(ref.depth))[both]
             assert np.median(err) < 5e-3
+
+
+def test_persistent_matches_grid_kernel(decoder):
+    """The persistent (one-grid-step, in-kernel chunk loop + manual DMA)
+    kernel must match the grid kernel field-for-field, including dead
+    chunks (whose outputs come pre-seeded via input_output_aliases)."""
+    from dist_renderer_tpu.ops.pallas.batched_march import (
+        pallas_sphere_trace_batched, pallas_sphere_trace_persistent,
+    )
+
+    params, z0, dcfg = decoder
+    shared = pack_shared(params, dcfg)
+    F, img = 3, 16
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=20.0, img_hw=(img, img))
+    o, v = pixel_rays(cam, img, img)
+    n = o.shape[0]
+    lats = jnp.stack([z0, z0 * 0.7, z0 + 0.05])
+    bank = fold_bias_bank(params, lats, dcfg, shared)
+    ob, vb = jnp.tile(o, (F, 1)), jnp.tile(v, (F, 1))
+    fr = jnp.repeat(jnp.arange(F, dtype=jnp.int32), n)
+    # kill the first chunk so the dead-chunk path is exercised
+    act = jnp.ones((F * n,), bool).at[:128].set(False)
+
+    kw = dict(init_active=act, block=128, interpret=True)
+    r1 = pallas_sphere_trace_batched(shared, bank, fr, ob, vb, MARCH, **kw)
+    r2 = pallas_sphere_trace_persistent(shared, bank, fr, ob, vb, MARCH, **kw)
+    assert int(r1.hit.sum()) > 100
+    for name in ("depth", "hit", "min_sdf", "depth_at_min", "last_sdf",
+                 "unresolved", "steps_per_ray", "bracketed"):
+        a = np.asarray(getattr(r1, name)).astype(np.float64)
+        b = np.asarray(getattr(r2, name)).astype(np.float64)
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)
+
+
+def test_single_frame_rounds_skip_semantics(decoder):
+    """pallas_sphere_trace_rounds: rays that never march (c2f skip class)
+    must still report their seed anchor as depth/depth_at_min and a
+    geometric margin, matching the plain kernel's init-state outputs."""
+    from dist_renderer_tpu.models.folded import fold_latent
+    from dist_renderer_tpu.ops.pallas.fused_march import (
+        pack_folded, pallas_sphere_trace, pallas_sphere_trace_rounds,
+    )
+
+    params, z0, dcfg = decoder
+    packed = pack_folded(fold_latent(params, z0, dcfg), dcfg)
+    img = 16
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=20.0, img_hw=(img, img))
+    o, v = pixel_rays(cam, img, img)
+    n = o.shape[0]
+    # mark a band of rays as skip, with anchor seeds
+    active = jnp.ones((n,), bool).at[:64].set(False)
+    seed = jnp.full((n,), jnp.nan).at[:64].set(1.7)
+    m = MarchConfig(max_steps=40, convergence_eps=2e-3, depth_eps=5e-4)
+    ref = pallas_sphere_trace(
+        packed, o, v, m, init_depth=seed, init_active=active,
+        block=64, interpret=True,
+    )
+    got = pallas_sphere_trace_rounds(
+        packed, o, v, m, init_depth=seed, init_active=active,
+        block=64, interpret=True, round_caps=(4, 12),
+    )
+    skip = ~np.asarray(active)
+    np.testing.assert_allclose(
+        np.asarray(got.depth)[skip], np.asarray(ref.depth)[skip], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.depth_at_min)[skip],
+        np.asarray(ref.depth_at_min)[skip], atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.min_sdf)[skip], np.asarray(ref.min_sdf)[skip],
+        atol=1e-6,
+    )
+    # marched rays: same hits, depths to march tolerance
+    both = np.asarray(ref.hit) & np.asarray(got.hit)
+    assert both.sum() > 50
+    np.testing.assert_allclose(
+        np.asarray(got.depth)[both], np.asarray(ref.depth)[both], atol=5e-3
+    )
