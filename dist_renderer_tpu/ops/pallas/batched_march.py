@@ -287,12 +287,14 @@ def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int
 def _make_persistent_kernel(shared: SharedDecoder, march: MarchConfig,
                             max_steps: int, salvage: bool, block: int,
                             n_chunks: int):
-    """ONE grid step; an in-kernel scalar loop walks ray chunks, DMAs each
-    live chunk HBM->VMEM, marches it, and DMAs the result back. Dead
-    chunks cost a scalar branch instead of ~11 us of per-grid-step Mosaic
-    machinery (scripts/diag_kernel.py: a dead 512-lane grid block costs
-    ~11 us REGARDLESS of kernel content — the only cure is not launching
-    it). Dead chunks' outputs come pre-seeded via input_output_aliases."""
+    """ONE grid step; an in-kernel scalar loop walks the PRECOMPUTED list
+    of live chunk indices, DMAs each HBM->VMEM, marches it, and DMAs the
+    result back. Dead chunks never reach so much as a branch (the host
+    builds the live list with one static-size jnp.where) — a dead grid
+    block costs ~11 us of per-grid-step Mosaic machinery and even a
+    skipped pl.when iteration measured ~16 us (scripts/diag_kernel.py),
+    so iterating only live chunks is the only cheap formulation. Dead
+    chunks' outputs come pre-seeded via input_output_aliases."""
     eps = march.convergence_eps
     deps = march.depth_eps
     alpha = march.alpha
@@ -300,7 +302,7 @@ def _make_persistent_kernel(shared: SharedDecoder, march: MarchConfig,
     layers = list(zip(shared.whT, shared.wxT, shared.offsets))
     total = shared.total
 
-    def kernel(alive_ref, rays_hbm, bias_hbm, *refs):
+    def kernel(live_idx_ref, n_live_ref, rays_hbm, bias_hbm, *refs):
         # trailing refs: defaults (aliased to the output, unread), out,
         # then the scratch buffers and semaphores in declaration order
         (_defaults, out_hbm, rays_v, out_v, bias_v, tile_state,
@@ -473,13 +475,14 @@ def _make_persistent_kernel(shared: SharedDecoder, march: MarchConfig,
             cout.start()
             cout.wait()
 
-        def chunk_body(ci, carry):
-            @pl.when(alive_ref[ci] > 0)
-            def _():
-                run_chunk(ci)
-            return carry
+        def cond(kc):
+            return kc < n_live_ref[0]
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        def body(kc):
+            run_chunk(live_idx_ref[kc])
+            return kc + 1
+
+        jax.lax.while_loop(cond, body, 0)
 
     return kernel
 
@@ -526,8 +529,13 @@ def pallas_sphere_trace_persistent(
     rays = rays.at[8, :].set(far_bound)
     rays = rays.at[9, :].set(active0.astype(jnp.float32))
 
-    # chunk liveness + per-chunk bias columns in CHUNK order
-    alive = active0.reshape(n_chunks, block).any(axis=1).astype(jnp.int32)
+    # live-chunk index list (static size, ascending; padded with 0) + the
+    # per-chunk bias columns in CHUNK order
+    alive = active0.reshape(n_chunks, block).any(axis=1)
+    live_idx = jnp.where(alive, size=n_chunks, fill_value=0)[0].astype(
+        jnp.int32
+    )
+    n_live = jnp.sum(alive).astype(jnp.int32).reshape(1)
     nc_pad = _round_up(n_chunks, FRAME_TILE)
     cols = jnp.pad(frame_of_block, (0, nc_pad - n_chunks))
     bias_cols = jnp.take(bias_bank, cols, axis=1)      # [total, nc_pad]
@@ -554,7 +562,8 @@ def pallas_sphere_trace_persistent(
         kernel,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # alive
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # live chunk indices
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # n_live
             pl.BlockSpec(memory_space=pl.ANY),         # rays (HBM)
             pl.BlockSpec(memory_space=pl.ANY),         # bias cols (HBM)
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
@@ -562,7 +571,7 @@ def pallas_sphere_trace_persistent(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
-        input_output_aliases={3 + len(weights): 0},
+        input_output_aliases={4 + len(weights): 0},
         scratch_shapes=[
             pltpu.VMEM((16, block), jnp.float32),
             pltpu.VMEM((8, block), jnp.float32),
@@ -573,7 +582,7 @@ def pallas_sphere_trace_persistent(
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(alive, rays, bias_cols, *weights, defaults)
+    )(live_idx, n_live, rays, bias_cols, *weights, defaults)
 
     d = out[0]
     hit = out[1] > 0.5
@@ -950,7 +959,7 @@ def render_batched_c2f(
     round_caps: Tuple[int, ...] = (4, 12),
     shared_origin: bool = False,
     with_diag: bool = False,
-    live_frac: int = 2,
+    live_frac: int = 3,
     return_anchor: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5

@@ -173,8 +173,8 @@ def render_batched_c2f_sharded(
     frame_axis: str = "latents",
     ray_axis: str = "rays",
     block: int = 512,
-    stride: int = 4,
-    coarse_steps: int = 24,
+    strides: Tuple[int, ...] = (16, 4),
+    coarse_steps: int = 16,
     backoff: float = 0.05,
     interpret: bool = False,
     round_caps: Tuple[int, ...] = (4, 12),
@@ -188,15 +188,15 @@ def render_batched_c2f_sharded(
     — pure data parallel, weights replicate); each frame's rays shard over
     `ray_axis` as horizontal image BANDS. The c2f classification needs each
     coarse cell's 3x3 neighborhood, so bands exchange ONE boundary coarse
-    row with their neighbors via `lax.ppermute` (the only communication —
-    a few KB per step, rides ICI), making the sharded plan EXACTLY equal
-    to the single-device plan: window reductions use the received halo
-    rows in-band and the reduction identities (inf/False/True) at true
-    image edges, which reproduces SAME-padding truncation bitwise. The
-    march itself is communication-free per ray.
+    row with their neighbors per level via `lax.ppermute` (the only
+    communication — a few KB per level, rides ICI), making the sharded
+    plan EXACTLY equal to the single-device plan: window reductions use
+    the received halo rows in-band and the reduction identities
+    (inf/False/True) at true image edges, which reproduces SAME-padding
+    truncation bitwise. The march itself is communication-free per ray.
 
-    Restrictions: single coarse level (this `stride`), H divisible by
-    stride * mesh[ray_axis]. Returns (depth, hit, min_sdf), each [F, H*W].
+    Restrictions: H divisible by max(strides) * mesh[ray_axis] for every
+    valid level. Returns (depth, hit, min_sdf), each [F, H*W].
     """
     import dataclasses as _dc
 
@@ -209,16 +209,20 @@ def render_batched_c2f_sharded(
     n_fb = mesh.shape[frame_axis]
     if latents.shape[0] % n_fb:
         raise ValueError(f"{latents.shape[0]} frames not divisible by {n_fb}")
-    if h % (stride * n_rb) or w % stride:
-        raise ValueError(
-            f"image {h}x{w} not divisible by stride {stride} x {n_rb} ray shards"
-        )
     h_loc = h // n_rb
-    hc, wc = h_loc // stride, w // stride
+    valid = tuple(
+        s for s in strides
+        if s > 1 and h_loc % s == 0 and w % s == 0 and h % (s * n_rb) == 0
+    )
+    if not valid:
+        raise ValueError(
+            f"no stride of {strides} divides band {h_loc}x{w} "
+            f"({n_rb} ray shards of a {h}x{w} image)"
+        )
     shared = pack_shared(params, dcfg)
     coarse_march = _dc.replace(march, max_steps=min(march.max_steps, coarse_steps))
 
-    def _halo_rows(grid, neutral_top, neutral_bot):
+    def _halo_rows(grid, neutral):
         """grid [F_loc, hc, wc] -> (top_halo, bot_halo) [F_loc, wc]:
         neighbor boundary rows via ppermute; reduction identities at the
         true image edges (shard 0's top / shard k-1's bottom)."""
@@ -232,14 +236,14 @@ def render_batched_c2f_sharded(
         from_next = jax.lax.ppermute(
             grid[:, 0, :], ray_axis, [(i + 1, i) for i in range(k - 1)]
         )
-        top = jnp.where(idx == 0, neutral_top, from_prev)
-        bot = jnp.where(idx == k - 1, neutral_bot, from_next)
+        top = jnp.where(idx == 0, neutral, from_prev)
+        bot = jnp.where(idx == k - 1, neutral, from_next)
         return top, bot
 
     def _windows(grid, op, neutral):
         """3x3 window reduce over [F_loc, hc, wc] with halo rows on the
         band axis and identity padding on the lane axis (== SAME)."""
-        top, bot = _halo_rows(grid, neutral, neutral)
+        top, bot = _halo_rows(grid, neutral)
         ext = jnp.concatenate([top[:, None, :], grid, bot[:, None, :]], axis=1)
         return jax.lax.reduce_window(
             ext, neutral, op, (1, 3, 3), (1, 1, 1),
@@ -264,36 +268,63 @@ def render_batched_c2f_sharded(
         bank = fold_bias_bank(params, lat, dcfg, shared)
         o_g = o.reshape(f_loc, h_loc, w, 3)
         v_g = v.reshape(f_loc, h_loc, w, 3)
-        o_c = o_g[:, ::stride, ::stride].reshape(f_loc, -1, 3)
-        v_c = v_g[:, ::stride, ::stride].reshape(f_loc, -1, 3)
+        seed_full = None      # [F_loc, h_loc, w]
+        hit_any_full = None
+        hit_all_full = None
+        anchor_full = None
+        margin_full = None
 
-        res_c = batched_trace_padded(
-            shared, bank, o_c, v_c, coarse_march, None,
-            jnp.ones(o_c.shape[:2], bool), block, interpret,
-        )
-        seedable = res_c.hit | res_c.unresolved
-        depth_grid = jnp.where(seedable, res_c.depth, jnp.inf).reshape(
-            f_loc, hc, wc
-        )
-        hitish = seedable.reshape(f_loc, hc, wc)
-        strict = res_c.hit.reshape(f_loc, hc, wc)
+        for stride in valid:
+            hc, wc = h_loc // stride, w // stride
+            o_c = o_g[:, ::stride, ::stride].reshape(f_loc, -1, 3)
+            v_c = v_g[:, ::stride, ::stride].reshape(f_loc, -1, 3)
+            if seed_full is None:
+                lvl_seed = None
+                lvl_active = jnp.ones((f_loc, hc * wc), bool)
+            else:
+                lvl_seed = seed_full[:, ::stride, ::stride].reshape(f_loc, -1)
+                lvl_active = hit_any_full[:, ::stride, ::stride].reshape(
+                    f_loc, -1
+                )
+                lvl_seed = jnp.where(
+                    lvl_active, lvl_seed,
+                    anchor_full[:, ::stride, ::stride].reshape(f_loc, -1),
+                )
 
-        dmin = _windows(depth_grid, jax.lax.min, jnp.inf)
-        dmax = _windows(
-            jnp.where(jnp.isfinite(depth_grid), depth_grid, -jnp.inf),
-            jax.lax.max, -jnp.inf,
-        )
-        hit_any = _windows(hitish, jax.lax.bitwise_or, False)
-        hit_all = _windows(strict, jax.lax.bitwise_and, True)
+            res_c = batched_trace_padded(
+                shared, bank, o_c, v_c, coarse_march, lvl_seed,
+                lvl_active, block, interpret,
+            )
+            seedable = res_c.hit | res_c.unresolved
+            depth_grid = jnp.where(seedable, res_c.depth, jnp.inf).reshape(
+                f_loc, hc, wc
+            )
+            hitish = seedable.reshape(f_loc, hc, wc)
+            strict = res_c.hit.reshape(f_loc, hc, wc)
 
-        up = lambda g: jnp.repeat(jnp.repeat(g, stride, 1), stride, 2)
-        bo = jnp.where((dmax - dmin) < backoff, 0.2 * backoff, backoff)
-        seed = jnp.where(jnp.isfinite(up(dmin)), up(dmin) - up(bo), jnp.nan)
-        hit_any_f = up(hit_any).reshape(f_loc, -1)
-        hit_all_f = up(hit_all).reshape(f_loc, -1)
-        anchor = up(res_c.depth_at_min.reshape(f_loc, hc, wc)).reshape(f_loc, -1)
-        margin = up(res_c.min_sdf.reshape(f_loc, hc, wc)).reshape(f_loc, -1)
-        seed = seed.reshape(f_loc, -1)
+            dmin = _windows(depth_grid, jax.lax.min, jnp.inf)
+            dmax = _windows(
+                jnp.where(jnp.isfinite(depth_grid), depth_grid, -jnp.inf),
+                jax.lax.max, -jnp.inf,
+            )
+            hit_any = _windows(hitish, jax.lax.bitwise_or, False)
+            hit_all = _windows(strict, jax.lax.bitwise_and, True)
+
+            up = lambda g: jnp.repeat(jnp.repeat(g, stride, 1), stride, 2)
+            bo = jnp.where((dmax - dmin) < backoff, 0.2 * backoff, backoff)
+            seed_full = jnp.where(
+                jnp.isfinite(up(dmin)), up(dmin) - up(bo), jnp.nan
+            )
+            hit_any_full = up(hit_any)
+            hit_all_full = up(hit_all)
+            anchor_full = up(res_c.depth_at_min.reshape(f_loc, hc, wc))
+            margin_full = up(res_c.min_sdf.reshape(f_loc, hc, wc))
+
+        seed = seed_full.reshape(f_loc, -1)
+        hit_any_f = hit_any_full.reshape(f_loc, -1)
+        hit_all_f = hit_all_full.reshape(f_loc, -1)
+        anchor = anchor_full.reshape(f_loc, -1)
+        margin = margin_full.reshape(f_loc, -1)
 
         skip = ~hit_any_f
         init_depth = jnp.where(skip, anchor, seed)

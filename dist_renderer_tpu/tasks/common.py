@@ -114,16 +114,24 @@ def make_render_cfg(args) -> RenderConfig:
         # ~2e-3, so tighter convergence criteria only buy wasted bisection
         # steps; the fp32 IFT polish restores depth accuracy afterwards
         march_kw = dict(convergence_eps=2e-3, depth_eps=5e-4)
+    on_tpu = (not args.cpu)
+    try:
+        on_tpu = on_tpu and jax.devices()[0].platform != "cpu"
+    except Exception:
+        on_tpu = False
     return RenderConfig(
         img_h=args.img, img_w=args.img,
         march=MarchConfig(
             max_steps=args.march_steps,
             coarse_to_fine=args.fast,
-            use_compaction=args.fast,
+            use_compaction=args.fast and not on_tpu,
             **march_kw,
         ),
-        grad=GradConfig(mode="ift" if args.fast else "last_step"),
+        # hit-compacted differentiable recompute (bench-matched fast path)
+        grad=GradConfig(mode="ift", compact_frac=4) if args.fast
+        else GradConfig(mode="last_step"),
         compute_dtype="bfloat16" if args.fast else "float32",
+        use_pallas=args.fast and on_tpu,
     )
 
 

@@ -65,12 +65,12 @@ def main():
     _, (d_ref, hit_ref, _) = timeit(ref_fn, lat_b, ob, vb, n=1)
 
     configs = []
-    for strides, cs, caps in itertools.product(
-        [(4,), (16, 4), (8, 4), (8,)],
-        [24, 16],
-        [(4, 12)],
+    for caps, lf in itertools.product(
+        [(4, 12), (4, 8), (3, 9), (4, 10), (2, 6, 14), (5, 14)],
+        [2, 3],
     ):
-        configs.append(dict(strides=strides, coarse_steps=cs, round_caps=caps))
+        configs.append(dict(strides=(16, 4), coarse_steps=16,
+                            round_caps=caps, live_frac=lf))
 
     best = None
     for c in configs:

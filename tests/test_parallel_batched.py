@@ -37,10 +37,11 @@ def _rays(img, n_frames):
     return ob, vb
 
 
-def test_sharded_batched_matches_single_device(decoder):
-    """2-D mesh (frames x ray-bands): the ppermute halo exchange makes the
-    sharded c2f plan equal to the single-device plan, so per-ray outputs
-    agree to float tolerance."""
+@pytest.mark.parametrize("strides", [(4,), (8, 2)])
+def test_sharded_batched_matches_single_device(decoder, strides):
+    """2-D mesh (frames x ray-bands): the per-level ppermute halo exchange
+    makes the sharded c2f plan (including multi-level pyramids) equal to
+    the single-device plan, so per-ray outputs agree to float tolerance."""
     from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
     from dist_renderer_tpu.parallel.sharding import render_batched_c2f_sharded
 
@@ -55,13 +56,13 @@ def test_sharded_batched_matches_single_device(decoder):
     d_ref, hit_ref, msdf_ref = jax.jit(
         lambda l, o, v: render_batched_c2f(
             params, dcfg, l, o, v, (img, img), MARCH,
-            strides=(4,), coarse_steps=16, interpret=True,
+            strides=strides, coarse_steps=16, interpret=True,
         )
     )(latents, ob, vb)
     d_sh, hit_sh, msdf_sh = jax.jit(
         lambda l, o, v: render_batched_c2f_sharded(
             params, dcfg, l, o, v, (img, img), MARCH, mesh,
-            stride=4, coarse_steps=16, interpret=True,
+            strides=strides, coarse_steps=16, interpret=True,
         )
     )(latents, ob, vb)
 
