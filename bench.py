@@ -146,14 +146,22 @@ def main():
             from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
             from dist_renderer_tpu.ops.camera import pixel_rays as _pr
 
-            F = 8
+            # production-sized frame batch: per-launch fixed costs (~7 ms)
+            # amortize over frames — 64 frames/launch measured 19 Mrays/s
+            # vs 13.8 at 8 frames (same kernels, same per-ray work)
+            F = 64
             lat_b = jnp.stack(latents[:1] * F) + 0.001 * jax.random.normal(
                 jax.random.PRNGKey(9), (F, dcfg.latent_size)
             )
-            ob = jnp.broadcast_to(origins[None], (F,) + origins.shape)
-            vb = jnp.broadcast_to(dirs[None], (F,) + dirs.shape)
+            # rays as ARGUMENTS, broadcast on device (closure constants at
+            # this size exceed the remote-compile request limit)
+            ob = jnp.broadcast_to(origins[None], (1,) + origins.shape)
+            vb = jnp.broadcast_to(dirs[None], (1,) + dirs.shape)
             fb = jax.jit(lambda l, o, v: render_batched_c2f(
-                params, dcfg, l, o, v, (img, img), cfg.march,
+                params, dcfg, l,
+                jnp.broadcast_to(o, (F,) + o.shape[1:]),
+                jnp.broadcast_to(v, (F,) + v.shape[1:]),
+                (img, img), cfg.march,
                 shared_origin=True))  # pinhole: one origin per frame
             jax.block_until_ready(fb(lat_b, ob, vb)[0])
             t0 = time.perf_counter()

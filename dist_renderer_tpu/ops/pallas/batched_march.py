@@ -764,10 +764,13 @@ def fine_march_rounds(
     diag: Optional[dict] = None,
     live_frac: int = 2,
     return_anchor: bool = False,
+    return_steps: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Multi-round straggler-rebinned fine march; outputs in PIXEL order.
     return_anchor=True additionally returns depth_at_min (the recorded
-    min-|SDF| distance — the renderer's miss-ray margin anchor).
+    min-|SDF| distance — the renderer's miss-ray margin anchor);
+    return_steps=True appends per-ray step counts (live-ray telemetry on
+    the production path, SURVEY.md §5 'Tracing / profiling').
 
     Why rounds: block residency is the MAX over a block's 512 rays, so a
     few 30-50-step stragglers hold class-sorted blocks at ~16 steps where
@@ -822,6 +825,7 @@ def fine_march_rounds(
     msdf0 = jnp.full((f, n), jnp.inf, f32)
     brk0 = jnp.zeros((f, n), bool)
     dam0 = jnp.where(jnp.isfinite(d0), d0, 0.0)  # skip rays: coarse anchor
+    steps0 = jnp.zeros((f, n), jnp.int32)
 
     caps = tuple(round_caps)
 
@@ -829,14 +833,14 @@ def fine_march_rounds(
         """All rounds + repacks confined to the first `width` columns.
         Assumes every live ray is within that prefix. Returns full-width
         (d, hit_f, msdf, pix_s)."""
-        v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam = state
+        v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam, stp = state
         # slice the working prefix once; the dead suffix rejoins at the end
         suffix = (d[:, width:], hit_f[:, width:], msdf[:, width:],
-                  pix_s[:, width:], dam[:, width:])
-        v_s, d, hit_f, msdf, pix_s, live, brk, dam = (
+                  pix_s[:, width:], dam[:, width:], stp[:, width:])
+        v_s, d, hit_f, msdf, pix_s, live, brk, dam, stp = (
             v_s[:, :width], d[:, :width], hit_f[:, :width],
             msdf[:, :width], pix_s[:, :width], live[:, :width],
-            brk[:, :width], dam[:, :width],
+            brk[:, :width], dam[:, :width], stp[:, :width],
         )
         if not shared_origin:
             o_s = o_s[:, :width]
@@ -846,7 +850,8 @@ def fine_march_rounds(
                 return jnp.broadcast_to(o_s, (f, r, 3))
             return o_s[:, :r]
 
-        def run_round(ri, r, m, salvage, d, live, hit_f, msdf, brk, dam):
+        def run_round(ri, r, m, salvage, d, live, hit_f, msdf, brk, dam,
+                      stp):
             """March the first r columns (current order); merge back."""
             res = batched_trace_padded(
                 shared, bank, o_slice(r), v_s[:, :r], m,
@@ -865,10 +870,15 @@ def fine_march_rounds(
                           res.depth_at_min, dam[:, :r]))
             msdf = upd(msdf, jnp.minimum(msdf[:, :r], res.min_sdf))
             brk = upd(brk, res.bracketed)
+            if return_steps:
+                r_pad = res.steps_per_ray.shape[0] // f
+                st_r = res.steps_per_ray.reshape(f, r_pad)[:, :r]
+                stp = stp.at[:, :r].set(
+                    stp[:, :r] + jnp.where(was, st_r, 0))
             live = upd(live, res.unresolved)
-            return d, live, hit_f, msdf, brk, dam
+            return d, live, hit_f, msdf, brk, dam, stp
 
-        def repack(v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam):
+        def repack(v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam, stp):
             """Difficulty-grouped live-first re-pack (one payload sort):
             open (still aggressive-marching) survivors first, bracketed
             (a few cheap secant steps) next, dead last — blocks pay the
@@ -876,43 +886,45 @@ def fine_march_rounds(
             them homogeneous."""
             k2 = jnp.where(~live, 2, jnp.where(brk, 1, 0)).astype(jnp.int32)
             k2_s, pays = sort_by(k2, [v_s[..., 0], v_s[..., 1], v_s[..., 2],
-                                      d, hit_f, msdf, pix_s, brk, dam] + (
+                                      d, hit_f, msdf, pix_s, brk, dam, stp] + (
                 [] if shared_origin else
                 [o_s[..., 0], o_s[..., 1], o_s[..., 2]]))
             v_s = jnp.stack(pays[0:3], axis=-1)
-            d, hit_f, msdf, pix_s, brk, dam = (pays[3], pays[4], pays[5],
-                                               pays[6], pays[7], pays[8])
+            d, hit_f, msdf, pix_s, brk, dam, stp = (
+                pays[3], pays[4], pays[5], pays[6], pays[7], pays[8],
+                pays[9])
             if not shared_origin:
-                o_s = jnp.stack(pays[9:12], axis=-1)
+                o_s = jnp.stack(pays[10:13], axis=-1)
             live = k2_s != 2  # live-first prefix in the new order
-            return v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam
+            return v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam, stp
 
         for ri, cap in enumerate(caps):
             m = _dc.replace(march, max_steps=min(cap, march.max_steps))
             if ri > 0:
-                v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam = repack(
-                    v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam)
+                (v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam,
+                 stp) = repack(v_s, d, hit_f, msdf, pix_s, o_s, live, brk,
+                               dam, stp)
                 bucket = min(_round_up(max(n // 4, block), block), width)
             else:
                 bucket = width
-            d, live, hit_f, msdf, brk, dam = run_round(
-                ri, bucket, m, False, d, live, hit_f, msdf, brk, dam)
+            d, live, hit_f, msdf, brk, dam, stp = run_round(
+                ri, bucket, m, False, d, live, hit_f, msdf, brk, dam, stp)
 
         # FINAL round: full remaining budget; bucketed w/ overflow fallback
-        v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam = repack(
-            v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam)
+        v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam, stp = repack(
+            v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam, stp)
         bucket = min(_round_up(max(n // 8, block), block), width)
 
         if bucket >= width or diag is not None:
             # diag mode: cond branches may not write telemetry (the tracer
             # would leak out of the cond) — run unconditionally
-            d, live, hit_f, msdf, brk, dam = run_round(
+            d, live, hit_f, msdf, brk, dam, stp = run_round(
                 len(caps), width, march, True, d, live, hit_f, msdf, brk,
-                dam)
+                dam, stp)
         else:
             max_live = jnp.max(jnp.sum(live, axis=1))
-            state2 = (d, live, hit_f, msdf, brk, dam)
-            d, live, hit_f, msdf, brk, dam = jax.lax.cond(
+            state2 = (d, live, hit_f, msdf, brk, dam, stp)
+            d, live, hit_f, msdf, brk, dam, stp = jax.lax.cond(
                 max_live > bucket,
                 lambda s: run_round(len(caps), width, march, True, *s),
                 lambda s: run_round(len(caps), bucket, march, True, *s),
@@ -921,15 +933,15 @@ def fine_march_rounds(
         cat = lambda a, sfx: jnp.concatenate([a, sfx], axis=1)
         return (cat(d, suffix[0]), cat(hit_f, suffix[1]),
                 cat(msdf, suffix[2]), cat(pix_s, suffix[3]),
-                cat(dam, suffix[4]))
+                cat(dam, suffix[4]), cat(stp, suffix[5]))
 
-    state = (v_s0, d0, hit0, msdf0, pix_s0, o_s0, live0, brk0, dam0)
+    state = (v_s0, d0, hit0, msdf0, pix_s0, o_s0, live0, brk0, dam0, steps0)
     prefix = min(_round_up(max(n // max(live_frac, 1), block), block), n)
     if prefix >= n or diag is not None:
-        d, hit_f, msdf, pix_s, dam = rounds(n, state)
+        d, hit_f, msdf, pix_s, dam, stp = rounds(n, state)
     else:
         max_live0 = jnp.max(jnp.sum(live0, axis=1))
-        d, hit_f, msdf, pix_s, dam = jax.lax.cond(
+        d, hit_f, msdf, pix_s, dam, stp = jax.lax.cond(
             max_live0 > prefix,
             lambda s: rounds(n, s),
             lambda s: rounds(prefix, s),
@@ -937,10 +949,13 @@ def fine_march_rounds(
         )
 
     # one unsort back to pixel order, results as payloads
-    _, outs = sort_by(pix_s, [d, hit_f, msdf, dam])
+    _, outs = sort_by(pix_s, [d, hit_f, msdf, dam, stp])
+    out = (outs[0], outs[1] > 0.5, outs[2])
     if return_anchor:
-        return outs[0], outs[1] > 0.5, outs[2], outs[3]
-    return outs[0], outs[1] > 0.5, outs[2]
+        out = out + (outs[3],)
+    if return_steps:
+        out = out + (outs[4],)
+    return out
 
 
 def render_batched_c2f(
@@ -961,6 +976,7 @@ def render_batched_c2f(
     with_diag: bool = False,
     live_frac: int = 3,
     return_anchor: bool = False,
+    return_steps: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
@@ -1049,10 +1065,16 @@ def render_batched_c2f(
         width_full = up(jnp.where(jnp.isfinite(dmax - dmin), dmax - dmin, jnp.inf))
 
     if seed_full is None:  # no valid strides: plain batched march
-        d, hit, msdf, dam, _ = batched_trace(
-            origins, dirs, march, None, jnp.ones((f, n), bool), tag="fine"
+        res = batched_trace_padded(
+            shared, bank, origins, dirs, march, None,
+            jnp.ones((f, n), bool), block, interpret, True,
         )
-        out = (d, hit, msdf) + ((dam,) if return_anchor else ())
+        out = (res.depth, res.hit, res.min_sdf)
+        if return_anchor:
+            out = out + (res.depth_at_min,)
+        if return_steps:
+            r_pad = res.steps_per_ray.shape[0] // f
+            out = out + (res.steps_per_ray.reshape(f, r_pad)[:, :n],)
         return out + ((diag,) if with_diag else ())
 
     seed = seed_full.reshape(f, n)
@@ -1075,16 +1097,19 @@ def render_batched_c2f(
         shared, bank, o_in, dirs, key, init_depth, march,
         block=block, round_caps=round_caps, interpret=interpret,
         diag=diag if with_diag else None, live_frac=live_frac,
-        return_anchor=return_anchor,
+        return_anchor=return_anchor, return_steps=return_steps,
     )
     d, hit, msdf = fine[:3]
     # skip rays never marched: their silhouette margin is the coarse one
     msdf = jnp.where(skip, margin, msdf)
     out = (d, hit, msdf)
+    k = 3
     if return_anchor:
         # skip rays' margin anchor is the coarse min-SDF point
-        dam = jnp.where(skip, anchor, fine[3])
-        out = out + (dam,)
+        out = out + (jnp.where(skip, anchor, fine[k]),)
+        k += 1
+    if return_steps:
+        out = out + (fine[k],)
     return out + ((diag,) if with_diag else ())
 
 

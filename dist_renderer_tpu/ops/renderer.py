@@ -461,25 +461,34 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
                 reaching it is an error, not just waste."""
                 origins = _sg(origins)
                 dirs = _sg(dirs)
-                d, hit, msdf, dam = render_batched_c2f(
+                d, hit, msdf, dam, steps = render_batched_c2f(
                     params, dcfg, z[None], origins[None], dirs[None],
                     img_hw, march,
                     strides=march.c2f_strides,
                     coarse_steps=march.c2f_coarse_steps,
                     backoff=march.c2f_backoff,
                     shared_origin=True, return_anchor=True,
+                    return_steps=True,
                     interpret=interpret,
                 )
                 n = d.shape[1]
-                from dist_renderer_tpu.ops.tracer import TraceResult
+                from dist_renderer_tpu.ops.tracer import (
+                    TraceResult, live_counts_from_steps,
+                )
 
+                # per-ray step counts keep the profiling subsystem's
+                # live-ray telemetry on the production path (unused
+                # consumers are pruned by XLA)
+                steps = steps[0]
                 return TraceResult(
                     depth=d[0], hit=hit[0], min_sdf=msdf[0],
                     depth_at_min=dam[0],
                     last_sdf=jnp.zeros((n,), jnp.float32),
-                    steps_used=jnp.zeros((), jnp.int32),
-                    live_counts=jnp.zeros((march.max_steps,), jnp.int32),
+                    steps_used=jnp.max(steps),
+                    live_counts=live_counts_from_steps(
+                        steps, march.max_steps),
                     unresolved=jnp.zeros((n,), bool),
+                    steps_per_ray=steps,
                 )
 
             mf.trace_frame = trace_frame

@@ -71,11 +71,15 @@ def main(argv=None):
         chunk = min(128, n_frames)
         while n_frames % chunk:
             chunk -= 1
-        o_chunk = jnp.tile(origins, ((chunk + args.views - 1) // args.views, 1, 1))[:chunk]
-        v_chunk = jnp.tile(dirs, ((chunk + args.views - 1) // args.views, 1, 1))[:chunk]
+        reps = (chunk + args.views - 1) // args.views
 
+        # rays enter as ARGUMENTS and tile on device: baking the tiled
+        # [chunk, N, 3] arrays into the graph as constants blows the
+        # remote-compile service's request-size limit at 512^2 (HTTP 413)
         @jax.jit
-        def render_chunk(lat_f):
+        def render_chunk(lat_f, o_views, v_views):
+            o_chunk = jnp.tile(o_views, (reps, 1, 1))[:chunk]
+            v_chunk = jnp.tile(v_views, (reps, 1, 1))[:chunk]
             return render_batched_c2f(
                 params, dcfg, lat_f, o_chunk, v_chunk,
                 (args.img, args.img), cfg.march,
@@ -85,7 +89,7 @@ def main(argv=None):
             lat_frames = jnp.repeat(latents, args.views, axis=0)
             ds, hs = [], []
             for s in range(0, n_frames, chunk):
-                d, h = render_chunk(lat_frames[s:s + chunk])
+                d, h = render_chunk(lat_frames[s:s + chunk], origins, dirs)
                 ds.append(d)
                 hs.append(h)
             d = jnp.concatenate(ds).reshape(args.latents, args.views, -1)

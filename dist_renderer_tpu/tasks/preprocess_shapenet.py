@@ -46,15 +46,24 @@ def _cam_json(cam: Camera) -> dict:
 
 def ring_cameras_around(
     center: np.ndarray, radius: float, img: int, n_views: int,
-    elevation: float = 0.35,
+    elevation: float = 0.35, jitter: float = 0.0, seed: int = 0,
 ) -> list:
-    """Ring of cameras around an arbitrary center (original mesh frame)."""
+    """Ring of cameras around an arbitrary center (original mesh frame).
+
+    jitter > 0 perturbs each viewpoint's azimuth/elevation/radius (a
+    fraction of their nominal values) — real capture rigs are not perfect
+    rings, and downstream consumers must not assume one."""
+    rng = np.random.RandomState(seed)
     cams = []
     for k in range(n_views):
         az = 2.0 * np.pi * k / max(n_views, 1)
-        eye = center + radius * np.array(
-            [np.cos(az) * np.cos(elevation), np.sin(elevation),
-             np.sin(az) * np.cos(elevation)],
+        el, r = elevation, radius
+        if jitter > 0.0:
+            az += jitter * rng.uniform(-np.pi, np.pi) / max(n_views, 1)
+            el += jitter * rng.uniform(-0.5, 0.5)
+            r *= 1.0 + jitter * rng.uniform(-0.2, 0.2)
+        eye = center + r * np.array(
+            [np.cos(az) * np.cos(el), np.sin(el), np.sin(az) * np.cos(el)],
             np.float32,
         )
         cams.append(Camera.looking_at(
@@ -66,7 +75,7 @@ def ring_cameras_around(
 def preprocess_mesh(
     obj_path: str, out_root: str, views: int, img: int,
     write_depth: bool = True, write_multiview: bool = True,
-    use_native: bool = True,
+    use_native: bool = True, camera_jitter: float = 0.0,
 ) -> dict:
     """One mesh -> dataset instances. Returns a summary dict."""
     name = os.path.splitext(os.path.basename(obj_path))[0]
@@ -76,7 +85,12 @@ def preprocess_mesh(
     offset, scale = deepsdf_normalization(verts)
     # camera ring in the ORIGINAL frame, sized to see the whole object
     radius = 2.5 / scale
-    cams = ring_cameras_around(offset, radius, img, views)
+    import zlib
+
+    # stable per-mesh seed (Python's str hash is salted per process)
+    cams = ring_cameras_around(offset, radius, img, views,
+                               jitter=camera_jitter,
+                               seed=zlib.crc32(name.encode()) & 0x7FFFFFFF)
 
     summary = {"name": name, "views": views, "instances": []}
     if write_depth:
@@ -144,6 +158,8 @@ def main(argv=None):
     ap.add_argument("--no-multiview", action="store_true")
     ap.add_argument("--no-native", action="store_true",
                     help="force the numpy raycaster")
+    ap.add_argument("--camera-jitter", type=float, default=0.0,
+                    help="perturb the camera ring (0.3 = realistic rig)")
     args = ap.parse_args(argv)
 
     if os.path.isfile(args.meshes):
@@ -161,6 +177,7 @@ def main(argv=None):
             write_depth=not args.no_depth,
             write_multiview=not args.no_multiview,
             use_native=not args.no_native,
+            camera_jitter=args.camera_jitter,
         )
         print(f"{s['name']}: {len(s['instances'])} depth instances"
               + ("" if args.no_multiview else f" + {args.views} views"))
