@@ -20,8 +20,7 @@ Python call — SURVEY.md §2 'Parallelism strategies'.)
 
 from __future__ import annotations
 
-import functools
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,8 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dist_renderer_tpu.config import DecoderConfig, MarchConfig
 from dist_renderer_tpu.models.decoder import Params
-from dist_renderer_tpu.models.folded import FoldedLayer, fold_latent
-from dist_renderer_tpu.ops.binning import counting_sort_perm
+from dist_renderer_tpu.models.folded import fold_latent
 from dist_renderer_tpu.ops.camera import ray_sphere_entry
 from dist_renderer_tpu.ops.pallas.fused_march import (
     _NEG_BIG, _POS_BIG, _round_up,

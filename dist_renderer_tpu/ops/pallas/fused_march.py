@@ -28,8 +28,7 @@ The kernel implements the same bracket-secant march as ops/tracer.py
 
 from __future__ import annotations
 
-import functools
-from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

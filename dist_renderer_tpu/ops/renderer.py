@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from dist_renderer_tpu.config import DecoderConfig, RenderConfig
-from dist_renderer_tpu.models.decoder import decoder_apply
 from dist_renderer_tpu.ops.camera import Camera, pixel_rays
 from dist_renderer_tpu.ops.tracer import (
     TraceResult,

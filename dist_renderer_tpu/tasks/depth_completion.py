@@ -50,6 +50,11 @@ def main(argv=None):
     ap.add_argument("--w-sil", type=float, default=1.0)
     ap.add_argument("--w-reg", type=float, default=1e-4)
     ap.add_argument("--vis-every", type=int, default=0)
+    ap.add_argument("--mesh", action="store_true",
+                    help="extract the fitted shape's mesh (OBJ) and, when "
+                    "a hidden GT exists, report chamfer vs it — the "
+                    "reference's post-fit evaluation (SURVEY.md §3.3)")
+    ap.add_argument("--mesh-res", type=int, default=128)
     args = ap.parse_args(argv)
 
     params, gt_latent, dcfg = load_task_decoder(args)
@@ -139,6 +144,32 @@ def main(argv=None):
         err = float(L.depth_loss(out.depth, obs_depth, obs_valid, out.mask))
         print(f"final: loss {float(res.loss_history[-1]):.5f}  "
               f"observed-depth L1 {err:.5f}")
+
+    if args.mesh:
+        # SURVEY.md §3.3 finale: marching-tetra mesh of the fitted shape
+        # (+ chamfer vs the hidden GT when this run synthesized one)
+        from dist_renderer_tpu.eval.chamfer import (
+            chamfer_distance, sample_surface_points,
+        )
+        from dist_renderer_tpu.eval.mesh import extract_mesh, save_obj
+
+        verts, faces = extract_mesh(
+            lambda p: sdf_fn(res.variables, p), resolution=args.mesh_res
+        )
+        obj = os.path.join(args.out, "fitted.obj")
+        save_obj(obj, verts, faces)
+        msg = f"mesh: {len(verts)} verts {len(faces)} faces -> {obj}"
+        if gt is not None:
+            pa = sample_surface_points(
+                lambda p: sdf_fn(res.variables, p), n=20000
+            )
+            pb = sample_surface_points(
+                lambda p: sdf_fn(gt_latent, p), n=20000,
+                key=jax.random.PRNGKey(1),
+            )
+            ch = float(chamfer_distance(pa, pb)[2])
+            msg += f"  chamfer-sq vs GT {ch:.2e}"
+        print(msg)
     logger.close()
     return res
 

@@ -52,6 +52,10 @@ def main(argv=None):
     ap.add_argument("--w-sil", type=float, default=1.0)
     ap.add_argument("--w-photo", type=float, default=1.0)
     ap.add_argument("--w-reg", type=float, default=1e-4)
+    ap.add_argument("--mesh", action="store_true",
+                    help="extract the reconstructed mesh (OBJ) after the "
+                    "fit — the reference's post-fit output (SURVEY.md §3.4)")
+    ap.add_argument("--mesh-res", type=int, default=128)
     args = ap.parse_args(argv)
 
     params, gt_latent, dcfg = load_task_decoder(args)
@@ -151,6 +155,17 @@ def main(argv=None):
     else:
         lat_err = float(jnp.linalg.norm(res.variables - gt_latent))
         print(f"final: loss {float(res.loss_history[-1]):.5f}  |z - z_gt| {lat_err:.4f}")
+    if args.mesh:
+        import os as _os
+
+        from dist_renderer_tpu.eval.mesh import extract_mesh, save_obj
+
+        verts, faces = extract_mesh(
+            lambda p: sdf_fn(res.variables, p), resolution=args.mesh_res
+        )
+        obj = _os.path.join(args.out, "reconstructed.obj")
+        save_obj(obj, verts, faces)
+        print(f"mesh: {len(verts)} verts {len(faces)} faces -> {obj}")
     logger.close()
     return res
 
