@@ -247,18 +247,23 @@ def render_rays(
 
     trace: optional precomputed march result (e.g. from the batched c2f
     pipeline) — only the differentiable composition runs here then."""
-    if march_fn is None:
-        march_fn = lambda p: sdf_fn(_sg(latent), p)
+    trace_fn = march_fn if march_fn is not None else (
+        lambda p: sdf_fn(_sg(latent), p)
+    )
     if trace is None:
-        trace = _trace(march_fn, _sg(origins), _sg(dirs), cfg, init_depth,
+        trace = _trace(trace_fn, _sg(origins), _sg(dirs), cfg, init_depth,
                        init_active)
     trace = jax.tree_util.tree_map(_sg, trace)
 
     # Spatial gradient (normals + IFT denominator): precision-insensitive
     # (normalized / stop-gradient'ed) — take it from the cheap march
     # function when one exists instead of the full-precision decoder.
+    # The fallback rides sdf_fn's plain `.cheap` sibling when present:
+    # make_precise_sdf is a custom_vjp function, and forward-mode (the
+    # jvp computing the IFT denominator) cannot differentiate those.
+    _base = getattr(sdf_fn, "cheap", sdf_fn)
     g_fn = march_fn if march_fn is not None else (
-        lambda p: sdf_fn(_sg(latent), p)
+        lambda p: _base(_sg(latent), p)
     )
 
     def compose(o, v, d0, anchor, hit):
@@ -271,12 +276,14 @@ def render_rays(
         differentiably at its recorded point")."""
         p_surf = o + anchor[:, None] * v           # o/v live (pose grads)
         s = sdf_fn(latent, p_surf)                 # precise VALUE (depth anchor)
-        _, pullback = jax.vjp(g_fn, _sg(p_surf))
-        (g,) = pullback(jnp.ones_like(s))
         if cfg.grad.mode == "ift":
-            # f(z, o + d(z,o,v) v) == 0  =>  dd = -df / (grad_x f . v)
-            denom = jnp.sum(_sg(g) * _sg(v), axis=-1)
-            denom = jnp.minimum(denom, -cfg.grad.ift_min_denom)  # front-facing: < 0
+            # f(z, o + d(z,o,v) v) == 0  =>  dd = -df / (grad_x f . v).
+            # The denominator only needs the DIRECTIONAL derivative along
+            # v — one forward-mode jvp (fwd + tangent pass), cheaper than
+            # the full-gradient vjp and, decoupled from it, XLA prunes the
+            # normals vjp below whenever the loss ignores normals.
+            _, dd = jax.jvp(g_fn, (_sg(p_surf),), (_sg(v),))
+            denom = jnp.minimum(dd, -cfg.grad.ift_min_denom)  # front-facing: < 0
             # extra Newton refinements (stop-grad, frozen denominator) let a
             # loose-eps bf16 march still land on the fp32 surface; the LAST
             # step stays differentiable
@@ -304,6 +311,12 @@ def render_rays(
                 [sv[:, 0] - sv[:, 1], sv[:, 2] - sv[:, 3], sv[:, 4] - sv[:, 5]],
                 axis=-1,
             ) / (2.0 * eps)
+        else:
+            # spatial gradient from the cheap march function's vjp —
+            # precision-insensitive (normalized below); pruned by XLA when
+            # the caller never consumes normals
+            _, pullback = jax.vjp(g_fn, _sg(p_surf))
+            (g,) = pullback(jnp.ones_like(s))
         normal = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
         normal = jnp.where(hit[:, None], normal, 0.0)
         return depth, s, normal
