@@ -36,3 +36,28 @@ def test_bench_decoder_fixture_quality():
     assert err.mean() < 0.02, "bench decoder fixture degraded — benchmarks not comparable"
     sign_ok = ((pred > 0) == (tgt > 0))[band].mean()
     assert sign_ok > 0.9
+
+
+def test_bench_cpu_smoke_json_contract():
+    """bench.py is a driver hook: run it the way the driver does (bare
+    subprocess, no conftest) at smoke scale and hold the one-JSON-line
+    output contract."""
+    import json
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # no fake devices: the driver's env
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "bench.py"),
+         "--cpu", "--img", "16", "--steps", "8", "--frames", "1"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    for key in ("metric", "value", "unit", "vs_baseline",
+                "fwd_ms_per_frame", "fwdbwd_ms_per_frame"):
+        assert key in rec, key
+    assert rec["unit"] == "Mrays/s" and rec["value"] > 0
