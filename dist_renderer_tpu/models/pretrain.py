@@ -10,6 +10,7 @@ points sampled uniformly in the bounding cube + densely near the surface.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Callable, Optional, Tuple
 
 import numpy as np
@@ -142,11 +143,13 @@ def get_or_fit_cached(
     if os.path.exists(cache_path):
         try:
             return load_params_npz(cache_path)
-        except Exception:
-            pass
+        except Exception as e:
+            warnings.warn(
+                f"decoder cache {cache_path} unreadable ({e!r}); refitting"
+            )
     params, z0 = fit_decoder_to_sdf(target_sdf, dcfg, steps=steps, **kw)
     try:
         save_params_npz(cache_path, params, z0)
-    except OSError:
-        pass
+    except OSError as e:
+        warnings.warn(f"could not write decoder cache {cache_path}: {e!r}")
     return params, z0

@@ -35,9 +35,37 @@ from dist_renderer_tpu.ops.camera import ray_sphere_entry
 from dist_renderer_tpu.ops.pallas.fused_march import (
     _NEG_BIG, _POS_BIG, _round_up,
 )
+from dist_renderer_tpu.ops.pallas.march_body import (
+    default_rows, march_rows, mlp_apply,
+)
 from dist_renderer_tpu.ops.tracer import TraceResult
 
 FRAME_TILE = 128  # frames per bias-bank tile (lane width)
+
+
+def _kinds(shared: "SharedDecoder"):
+    """Per-layer 'h'/'x'/'hx' input descriptor for march_body.mlp_apply."""
+    return [
+        ("h" if wh is not None else "") + ("x" if wx is not None else "")
+        for wh, wx in zip(shared.whT, shared.wxT)
+    ]
+
+
+def _select_bank_biases(bias_tile, offsets, lane):
+    """Per-layer bias columns for one frame out of a [total, FRAME_TILE]
+    bias-bank tile: one-hot reduction over the tile lanes (width-1 dynamic
+    lane slices are hostile to Mosaic layouts). ~2.2 MB VMEM sweep — call
+    only for blocks that actually march."""
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, FRAME_TILE), 1) == lane
+    )
+    biases = []
+    for off, out_p in offsets:
+        tile = bias_tile[off:off + out_p, :]
+        biases.append(
+            jnp.sum(jnp.where(onehot, tile, 0.0), axis=1, keepdims=True)
+        )
+    return biases
 
 
 class SharedDecoder(NamedTuple):
@@ -107,11 +135,8 @@ def fold_bias_bank(
 
 def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int,
                        salvage: bool = True):
-    eps = march.convergence_eps
-    deps = march.depth_eps
-    alpha = march.alpha
-    margin = march.far_margin
-    layers = list(zip(shared.whT, shared.wxT, shared.offsets))
+    kinds = _kinds(shared)
+    offsets = shared.offsets
 
     def kernel(frame_ids_ref, rays_ref, bias_ref, *refs):
         # bias_ref: the [total, 128] frame tile holding this block's frame
@@ -132,151 +157,20 @@ def _make_multi_kernel(shared: SharedDecoder, march: MarchConfig, max_steps: int
         near = rays[7:8, :]
         far = rays[8:9, :]
         act0 = rays[9:10, :]
-
-        B = d.shape[1]
-        f32 = jnp.float32
-        zeros = jnp.zeros((1, B), f32)
-
-        def select_biases():
-            """Per-layer bias columns for this block's frame: one-hot
-            reduction over the tile (width-1 dynamic lane slices are
-            hostile to Mosaic layouts). Called only under pl.when(alive) —
-            a ~2.2 MB VMEM sweep dead blocks must not pay."""
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, FRAME_TILE), 1) == lane
-            )
-            biases = []
-            for _, _, (off, out_p) in layers:
-                tile = bias_ref[off:off + out_p, :]
-                biases.append(
-                    jnp.sum(jnp.where(onehot, tile, 0.0), axis=1,
-                            keepdims=True)
-                )
-            return biases
-
-        def mlp(p8, biases):
-            # fp32 accumulation, one rounding at the activation (bf16
-            # accumulation rejected — see fused_march._mlp precision note);
-            # weights read AT USE from refs (dead blocks never touch them)
-            h = None
-            wi = 0
-            n_layers = len(layers)
-            for li, (wh, wx, _) in enumerate(layers):
-                acc = None
-                if wh is not None:
-                    acc = jax.lax.dot_general(
-                        w_refs[wi][:, :], h, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    wi += 1
-                if wx is not None:
-                    xz = jax.lax.dot_general(
-                        w_refs[wi][:, :], p8, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc = xz if acc is None else acc + xz
-                    wi += 1
-                acc = acc + biases[li]
-                if li < n_layers - 1:
-                    h = jnp.maximum(acc, 0.0).astype(jnp.bfloat16)
-                else:
-                    h = acc
-            sdf = h[0:1, :]
-            if shared.final_tanh:
-                sdf = jnp.tanh(sdf)
-            return sdf
+        zeros = jnp.zeros((1, d.shape[1]), jnp.float32)
 
         # dead-block fast path: emit the init-state outputs and skip the
         # bias select + march entirely (a dead 512-lane block otherwise
         # pays the full per-block prologue before its early exit)
-        big = jnp.full((1, B), _POS_BIG, f32)
-        out_ref[:, :] = jnp.concatenate(
-            [d, zeros, big, d, big, zeros, zeros, zeros], axis=0
-        )
+        out_ref[:, :] = default_rows(d, zeros)
 
         @pl.when(jnp.max(act0) > 0.5)
         def _march_block():
-            biases = select_biases()
-            carry0 = (
-                d, act0, zeros,
-                jnp.full((1, B), _NEG_BIG, f32), jnp.full((1, B), _POS_BIG, f32),
-                jnp.full((1, B), _POS_BIG, f32), jnp.full((1, B), _NEG_BIG, f32),
-                jnp.full((1, B), _POS_BIG, f32), d,
-                jnp.full((1, B), _POS_BIG, f32), zeros,
-                zeros,                           # exhausted-without-bracket
-            )
-
-            def march_one(c):
-                (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-                 last_f, steps, unres_f) = c
-                act = act_f > 0.5
-                p = o + d * v
-                p8 = jnp.concatenate([p, jnp.zeros((5, B), f32)], axis=0)
-                f = mlp(p8.astype(jnp.bfloat16), biases)
-
-                better = act & (f < min_sdf)
-                min_sdf = jnp.where(better, f, min_sdf)
-                d_at_min = jnp.where(better, d, d_at_min)
-
-                outside = f > 0.0
-                d_lo = jnp.where(act & outside, d, d_lo)
-                f_lo = jnp.where(act & outside, f, f_lo)
-                d_hi = jnp.where(act & ~outside, d, d_hi)
-                f_hi = jnp.where(act & ~outside, f, f_hi)
-                bracketed = (d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)
-                width = d_hi - d_lo
-
-                converged = act & ((jnp.abs(f) < eps) | (bracketed & (width < deps)))
-
-                d_aggr = d + alpha * f
-                denom = f_hi - f_lo
-                secant = (d_lo * f_hi - d_hi * f_lo) / jnp.where(denom == 0.0, 1.0, denom)
-                secant = jnp.clip(secant, d_lo + 0.05 * width, d_hi - 0.05 * width)
-                d_back = d + f
-                d_next = jnp.where(bracketed, secant, jnp.where(outside, d_aggr, d_back))
-
-                steps = steps + jnp.where(act, 1.0, 0.0)
-                exhausted = steps >= float(max_steps)
-                escaped = (~bracketed) & ((d_next > far) | (d_next < near - margin))
-                missed = act & ~converged & (escaped | exhausted)
-                if salvage:
-                    # final march: accept the bracket midpoint on exhaustion
-                    salvaged = act & ~converged & exhausted & bracketed
-                else:
-                    # step-capped round: bracketed-but-unconverged rays REQUEUE
-                    # (midpoint depth at a small cap can be off by width/2)
-                    salvaged = jnp.zeros_like(act)
-                missed = missed & ~salvaged
-                converged = converged | salvaged
-
-                still = act & ~converged & ~missed
-                d = jnp.where(still, d_next, jnp.where(salvaged, 0.5 * (d_lo + d_hi), d))
-                last_f = jnp.where(act, f, last_f)
-                hit_f = jnp.maximum(hit_f, jnp.where(converged, 1.0, 0.0))
-                open_exh = act & ~converged & exhausted & (
-                    jnp.ones_like(act) if not salvage else ~bracketed
-                )
-                unres_f = jnp.maximum(unres_f, jnp.where(open_exh, 1.0, 0.0))
-                return (d, jnp.where(still, 1.0, 0.0), hit_f, d_lo, f_lo, d_hi,
-                        f_hi, min_sdf, d_at_min, last_f, steps, unres_f)
-
-            def loop_cond(kc):
-                k, c = kc
-                return (k < max_steps) & (jnp.max(c[1]) > 0.5)
-
-            def loop_body(kc):
-                k, c = kc
-                return (k + 1, march_one(c))
-
-            _, outc = jax.lax.while_loop(loop_cond, loop_body, (0, carry0))
-            (d_out, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-             last_f, steps, unres_f) = outc
-            brk = ((d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)).astype(f32)
-            out_ref[:, :] = jnp.concatenate(
-                [d_out, hit_f, min_sdf, d_at_min, last_f, steps,
-                 jnp.maximum(act_f, unres_f),    # unresolved at exit
-                 brk],                           # owns a bracket at exit
-                axis=0,
+            biases = _select_bank_biases(bias_ref, offsets, lane)
+            mlp = lambda p8: mlp_apply(kinds, w_refs, biases,
+                                       shared.final_tanh, p8)
+            out_ref[:, :] = march_rows(
+                mlp, o, v, d, near, far, act0, march, max_steps, salvage
             )
 
     return kernel
@@ -293,12 +187,9 @@ def _make_persistent_kernel(shared: SharedDecoder, march: MarchConfig,
     skipped pl.when iteration measured ~16 us (scripts/diag_kernel.py),
     so iterating only live chunks is the only cheap formulation. Dead
     chunks' outputs come pre-seeded via input_output_aliases."""
-    eps = march.convergence_eps
-    deps = march.depth_eps
-    alpha = march.alpha
-    margin = march.far_margin
-    layers = list(zip(shared.whT, shared.wxT, shared.offsets))
-    total = shared.total
+    kinds = _kinds(shared)
+    offsets = shared.offsets
+    B = block
 
     def kernel(live_idx_ref, n_live_ref, rays_hbm, bias_hbm, *refs):
         # trailing refs: defaults (aliased to the output, unread), out,
@@ -306,39 +197,8 @@ def _make_persistent_kernel(shared: SharedDecoder, march: MarchConfig,
         (_defaults, out_hbm, rays_v, out_v, bias_v, tile_state,
          sem_in, sem_out, sem_bias) = refs[-9:]
         w_refs = refs[:-9]
-        f32 = jnp.float32
-        B = block
 
         tile_state[0] = -1  # current bias tile in bias_v (none yet)
-
-        def mlp(p8, biases):
-            h = None
-            wi = 0
-            n_layers = len(layers)
-            for li, (wh, wx, _) in enumerate(layers):
-                acc = None
-                if wh is not None:
-                    acc = jax.lax.dot_general(
-                        w_refs[wi][:, :], h, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    wi += 1
-                if wx is not None:
-                    xz = jax.lax.dot_general(
-                        w_refs[wi][:, :], p8, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc = xz if acc is None else acc + xz
-                    wi += 1
-                acc = acc + biases[li]
-                if li < n_layers - 1:
-                    h = jnp.maximum(acc, 0.0).astype(jnp.bfloat16)
-                else:
-                    h = acc
-            sdf = h[0:1, :]
-            if shared.final_tanh:
-                sdf = jnp.tanh(sdf)
-            return sdf
 
         def run_chunk(ci):
             tile = ci // FRAME_TILE
@@ -366,106 +226,12 @@ def _make_persistent_kernel(shared: SharedDecoder, march: MarchConfig,
             near = rays[7:8, :]
             far = rays[8:9, :]
             act0 = rays[9:10, :]
-            zeros = jnp.zeros((1, B), f32)
 
-            lane = ci % FRAME_TILE
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, FRAME_TILE), 1) == lane
-            )
-            biases = []
-            for _, _, (off, out_p) in layers:
-                t = bias_v[off:off + out_p, :]
-                biases.append(
-                    jnp.sum(jnp.where(onehot, t, 0.0), axis=1, keepdims=True)
-                )
-
-            carry0 = (
-                d, act0, zeros,
-                jnp.full((1, B), _NEG_BIG, f32), jnp.full((1, B), _POS_BIG, f32),
-                jnp.full((1, B), _POS_BIG, f32), jnp.full((1, B), _NEG_BIG, f32),
-                jnp.full((1, B), _POS_BIG, f32), d,
-                jnp.full((1, B), _POS_BIG, f32), zeros,
-                zeros,
-            )
-
-            def march_one(c):
-                (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-                 last_f, steps, unres_f) = c
-                act = act_f > 0.5
-                p = o + d * v
-                p8 = jnp.concatenate([p, jnp.zeros((5, B), f32)], axis=0)
-                f = mlp(p8.astype(jnp.bfloat16), biases)
-
-                better = act & (f < min_sdf)
-                min_sdf = jnp.where(better, f, min_sdf)
-                d_at_min = jnp.where(better, d, d_at_min)
-
-                outside = f > 0.0
-                d_lo = jnp.where(act & outside, d, d_lo)
-                f_lo = jnp.where(act & outside, f, f_lo)
-                d_hi = jnp.where(act & ~outside, d, d_hi)
-                f_hi = jnp.where(act & ~outside, f, f_hi)
-                bracketed = (d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)
-                width = d_hi - d_lo
-
-                converged = act & (
-                    (jnp.abs(f) < eps) | (bracketed & (width < deps))
-                )
-
-                d_aggr = d + alpha * f
-                denom = f_hi - f_lo
-                secant = (d_lo * f_hi - d_hi * f_lo) / jnp.where(
-                    denom == 0.0, 1.0, denom
-                )
-                secant = jnp.clip(secant, d_lo + 0.05 * width,
-                                  d_hi - 0.05 * width)
-                d_back = d + f
-                d_next = jnp.where(
-                    bracketed, secant, jnp.where(outside, d_aggr, d_back)
-                )
-
-                steps = steps + jnp.where(act, 1.0, 0.0)
-                exhausted = steps >= float(max_steps)
-                escaped = (~bracketed) & (
-                    (d_next > far) | (d_next < near - margin)
-                )
-                missed = act & ~converged & (escaped | exhausted)
-                if salvage:
-                    salvaged = act & ~converged & exhausted & bracketed
-                else:
-                    salvaged = jnp.zeros_like(act)
-                missed = missed & ~salvaged
-                converged = converged | salvaged
-
-                still = act & ~converged & ~missed
-                d = jnp.where(
-                    still, d_next, jnp.where(salvaged, 0.5 * (d_lo + d_hi), d)
-                )
-                last_f = jnp.where(act, f, last_f)
-                hit_f = jnp.maximum(hit_f, jnp.where(converged, 1.0, 0.0))
-                open_exh = act & ~converged & exhausted & (
-                    jnp.ones_like(act) if not salvage else ~bracketed
-                )
-                unres_f = jnp.maximum(unres_f, jnp.where(open_exh, 1.0, 0.0))
-                return (d, jnp.where(still, 1.0, 0.0), hit_f, d_lo, f_lo,
-                        d_hi, f_hi, min_sdf, d_at_min, last_f, steps, unres_f)
-
-            def loop_cond(kc):
-                k, c = kc
-                return (k < max_steps) & (jnp.max(c[1]) > 0.5)
-
-            def loop_body(kc):
-                k, c = kc
-                return (k + 1, march_one(c))
-
-            _, outc = jax.lax.while_loop(loop_cond, loop_body, (0, carry0))
-            (d_out, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-             last_f, steps, unres_f) = outc
-            brk = ((d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)).astype(f32)
-            out_v[:, :] = jnp.concatenate(
-                [d_out, hit_f, min_sdf, d_at_min, last_f, steps,
-                 jnp.maximum(act_f, unres_f), brk],
-                axis=0,
+            biases = _select_bank_biases(bias_v, offsets, ci % FRAME_TILE)
+            mlp = lambda p8: mlp_apply(kinds, w_refs, biases,
+                                       shared.final_tanh, p8)
+            out_v[:, :] = march_rows(
+                mlp, o, v, d, near, far, act0, march, max_steps, salvage
             )
             cout = pltpu.make_async_copy(
                 out_v, out_hbm.at[:, pl.ds(ci * B, B)], sem_out
@@ -763,12 +529,18 @@ def fine_march_rounds(
     live_frac: int = 2,
     return_anchor: bool = False,
     return_steps: bool = False,
+    return_last: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Multi-round straggler-rebinned fine march; outputs in PIXEL order.
     return_anchor=True additionally returns depth_at_min (the recorded
     min-|SDF| distance — the renderer's miss-ray margin anchor);
     return_steps=True appends per-ray step counts (live-ray telemetry on
-    the production path, SURVEY.md §5 'Tracing / profiling').
+    the production path, SURVEY.md §5 'Tracing / profiling');
+    return_last=True appends (last_sdf, unresolved) — the kernel's true
+    final SDF sample per marched ray (+inf where never marched) and the
+    open-at-exit flag, so single-frame TraceResults carry real telemetry
+    instead of fabricated zeros. Flag-gated because each extra field rides
+    every repack sort as a payload.
 
     Why rounds: block residency is the MAX over a block's 512 rays, so a
     few 30-50-step stragglers hold class-sorted blocks at ~16 steps where
@@ -804,155 +576,159 @@ def fine_march_rounds(
     f32 = jnp.float32
     shared_origin = origins.shape[1] == 1
 
-    def sort_by(k, payloads):
-        out = jax.lax.sort((k,) + tuple(payloads), dimension=1,
-                           num_keys=1, is_stable=True)
-        return out[0], list(out[1:])
+    def sort_fields(k, fields):
+        """Stable sort on k; the named fields ride as payloads and come
+        back as a dict in the same (insertion) order — adding a carried
+        field is one dict entry, not a positional-index audit."""
+        names = list(fields)
+        out = jax.lax.sort((k,) + tuple(fields[nm] for nm in names),
+                           dimension=1, num_keys=1, is_stable=True)
+        return out[0], dict(zip(names, out[1:]))
 
+    # carried per-ray state, class-sorted once up front; re-packed (sorted
+    # again) between rounds. "live" is always re-derived from the sort key
+    # rather than carried as a payload.
     pix = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (f, n))
-    o_pay = [] if shared_origin else [origins[..., i] for i in range(3)]
-    key_s, pays = sort_by(
-        key, [dirs[..., 0], dirs[..., 1], dirs[..., 2], init_depth, pix] + o_pay
+    init0 = dict(
+        vx=dirs[..., 0], vy=dirs[..., 1], vz=dirs[..., 2],
+        d=init_depth, pix=pix,
     )
-    v_s0 = jnp.stack(pays[0:3], axis=-1)
-    d0 = pays[3]
-    pix_s0 = pays[4]
-    o_s0 = origins if shared_origin else jnp.stack(pays[5:8], axis=-1)
-    live0 = key_s != 2
-    hit0 = jnp.zeros((f, n), f32)
-    msdf0 = jnp.full((f, n), jnp.inf, f32)
-    brk0 = jnp.zeros((f, n), bool)
-    dam0 = jnp.where(jnp.isfinite(d0), d0, 0.0)  # skip rays: coarse anchor
-    steps0 = jnp.zeros((f, n), jnp.int32)
+    if not shared_origin:
+        init0.update(ox=origins[..., 0], oy=origins[..., 1],
+                     oz=origins[..., 2])
+    key_s, st0 = sort_fields(key, init0)
+    st0["live"] = key_s != 2
+    st0["hit"] = jnp.zeros((f, n), f32)
+    st0["msdf"] = jnp.full((f, n), jnp.inf, f32)
+    st0["brk"] = jnp.zeros((f, n), bool)
+    st0["dam"] = jnp.where(jnp.isfinite(st0["d"]), st0["d"], 0.0)
+    st0["stp"] = jnp.zeros((f, n), jnp.int32)
+    if return_last:
+        st0["lsdf"] = jnp.full((f, n), jnp.inf, f32)
 
     caps = tuple(round_caps)
+    out_fields = ["d", "hit", "msdf", "pix", "dam", "stp"] + (
+        ["lsdf", "live"] if return_last else []
+    )
 
-    def rounds(width, state):
+    def rounds(width, st):
         """All rounds + repacks confined to the first `width` columns.
-        Assumes every live ray is within that prefix. Returns full-width
-        (d, hit_f, msdf, pix_s)."""
-        v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam, stp = state
+        Assumes every live ray is within that prefix. Returns the
+        full-width out_fields dict."""
         # slice the working prefix once; the dead suffix rejoins at the end
-        suffix = (d[:, width:], hit_f[:, width:], msdf[:, width:],
-                  pix_s[:, width:], dam[:, width:], stp[:, width:])
-        v_s, d, hit_f, msdf, pix_s, live, brk, dam, stp = (
-            v_s[:, :width], d[:, :width], hit_f[:, :width],
-            msdf[:, :width], pix_s[:, :width], live[:, :width],
-            brk[:, :width], dam[:, :width], stp[:, :width],
-        )
-        if not shared_origin:
-            o_s = o_s[:, :width]
+        suffix = {nm: st[nm][:, width:] for nm in out_fields}
+        st = {nm: a[:, :width] for nm, a in st.items()}
 
-        def o_slice(r):
+        def o_slice(s, r):
             if shared_origin:
-                return jnp.broadcast_to(o_s, (f, r, 3))
-            return o_s[:, :r]
+                return jnp.broadcast_to(origins, (f, r, 3))
+            return jnp.stack(
+                [s["ox"][:, :r], s["oy"][:, :r], s["oz"][:, :r]], axis=-1
+            )
 
-        def run_round(ri, r, m, salvage, d, live, hit_f, msdf, brk, dam,
-                      stp):
+        def run_round(ri, s, r, m, salvage):
             """March the first r columns (current order); merge back."""
+            v_r = jnp.stack(
+                [s["vx"][:, :r], s["vy"][:, :r], s["vz"][:, :r]], axis=-1
+            )
             res = batched_trace_padded(
-                shared, bank, o_slice(r), v_s[:, :r], m,
-                d[:, :r], live[:, :r], block, interpret, salvage,
+                shared, bank, o_slice(s, r), v_r, m,
+                s["d"][:, :r], s["live"][:, :r], block, interpret, salvage,
             )
             if diag is not None:
                 diag[f"fine_r{ri}_block_residency"] = res.steps_per_ray.reshape(
                     -1, block).max(axis=1)
-            was = live[:, :r]
+            s = dict(s)
+            was = s["live"][:, :r]
             upd = lambda full, part: full.at[:, :r].set(
                 jnp.where(was, part, full[:, :r]))
-            d = upd(d, res.depth)
-            hit_f = upd(hit_f, jnp.maximum(hit_f[:, :r], res.hit.astype(f32)))
-            dam = dam.at[:, :r].set(
-                jnp.where(was & (res.min_sdf <= msdf[:, :r]),
-                          res.depth_at_min, dam[:, :r]))
-            msdf = upd(msdf, jnp.minimum(msdf[:, :r], res.min_sdf))
-            brk = upd(brk, res.bracketed)
+            # dam keys off the PRE-update msdf: keep the anchor of the
+            # round that actually achieved the min
+            s["dam"] = s["dam"].at[:, :r].set(
+                jnp.where(was & (res.min_sdf <= s["msdf"][:, :r]),
+                          res.depth_at_min, s["dam"][:, :r]))
+            s["d"] = upd(s["d"], res.depth)
+            s["hit"] = upd(s["hit"],
+                           jnp.maximum(s["hit"][:, :r], res.hit.astype(f32)))
+            s["msdf"] = upd(s["msdf"],
+                            jnp.minimum(s["msdf"][:, :r], res.min_sdf))
+            s["brk"] = upd(s["brk"], res.bracketed)
             if return_steps:
                 r_pad = res.steps_per_ray.shape[0] // f
                 st_r = res.steps_per_ray.reshape(f, r_pad)[:, :r]
-                stp = stp.at[:, :r].set(
-                    stp[:, :r] + jnp.where(was, st_r, 0))
-            live = upd(live, res.unresolved)
-            return d, live, hit_f, msdf, brk, dam, stp
+                s["stp"] = s["stp"].at[:, :r].set(
+                    s["stp"][:, :r] + jnp.where(was, st_r, 0))
+            if return_last:
+                s["lsdf"] = upd(s["lsdf"], res.last_sdf)
+            s["live"] = upd(s["live"], res.unresolved)
+            return s
 
-        def repack(v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam, stp):
+        def repack(s):
             """Difficulty-grouped live-first re-pack (one payload sort):
             open (still aggressive-marching) survivors first, bracketed
             (a few cheap secant steps) next, dead last — blocks pay the
             max over their rays, so grouping by remaining work keeps
             them homogeneous."""
-            k2 = jnp.where(~live, 2, jnp.where(brk, 1, 0)).astype(jnp.int32)
-            k2_s, pays = sort_by(k2, [v_s[..., 0], v_s[..., 1], v_s[..., 2],
-                                      d, hit_f, msdf, pix_s, brk, dam, stp] + (
-                [] if shared_origin else
-                [o_s[..., 0], o_s[..., 1], o_s[..., 2]]))
-            v_s = jnp.stack(pays[0:3], axis=-1)
-            d, hit_f, msdf, pix_s, brk, dam, stp = (
-                pays[3], pays[4], pays[5], pays[6], pays[7], pays[8],
-                pays[9])
-            if not shared_origin:
-                o_s = jnp.stack(pays[10:13], axis=-1)
-            live = k2_s != 2  # live-first prefix in the new order
-            return v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam, stp
+            k2 = jnp.where(~s["live"], 2,
+                           jnp.where(s["brk"], 1, 0)).astype(jnp.int32)
+            fields = {nm: a for nm, a in s.items() if nm != "live"}
+            k2_s, out = sort_fields(k2, fields)
+            out["live"] = k2_s != 2  # live-first prefix in the new order
+            return out
 
         for ri, cap in enumerate(caps):
             m = _dc.replace(march, max_steps=min(cap, march.max_steps))
             if ri > 0:
-                (v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam,
-                 stp) = repack(v_s, d, hit_f, msdf, pix_s, o_s, live, brk,
-                               dam, stp)
+                st = repack(st)
                 bucket = min(_round_up(max(n // 4, block), block), width)
             else:
                 bucket = width
-            d, live, hit_f, msdf, brk, dam, stp = run_round(
-                ri, bucket, m, False, d, live, hit_f, msdf, brk, dam, stp)
+            st = run_round(ri, st, bucket, m, False)
 
         # FINAL round: full remaining budget; bucketed w/ overflow fallback
-        v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam, stp = repack(
-            v_s, d, hit_f, msdf, pix_s, o_s, live, brk, dam, stp)
+        st = repack(st)
         bucket = min(_round_up(max(n // 8, block), block), width)
 
         if bucket >= width or diag is not None:
             # diag mode: cond branches may not write telemetry (the tracer
             # would leak out of the cond) — run unconditionally
-            d, live, hit_f, msdf, brk, dam, stp = run_round(
-                len(caps), width, march, True, d, live, hit_f, msdf, brk,
-                dam, stp)
+            st = run_round(len(caps), st, width, march, True)
         else:
-            max_live = jnp.max(jnp.sum(live, axis=1))
-            state2 = (d, live, hit_f, msdf, brk, dam, stp)
-            d, live, hit_f, msdf, brk, dam, stp = jax.lax.cond(
+            max_live = jnp.max(jnp.sum(st["live"], axis=1))
+            st = jax.lax.cond(
                 max_live > bucket,
-                lambda s: run_round(len(caps), width, march, True, *s),
-                lambda s: run_round(len(caps), bucket, march, True, *s),
-                state2,
+                lambda s: run_round(len(caps), s, width, march, True),
+                lambda s: run_round(len(caps), s, bucket, march, True),
+                st,
             )
-        cat = lambda a, sfx: jnp.concatenate([a, sfx], axis=1)
-        return (cat(d, suffix[0]), cat(hit_f, suffix[1]),
-                cat(msdf, suffix[2]), cat(pix_s, suffix[3]),
-                cat(dam, suffix[4]), cat(stp, suffix[5]))
+        return {
+            nm: jnp.concatenate([st[nm], suffix[nm]], axis=1)
+            for nm in out_fields
+        }
 
-    state = (v_s0, d0, hit0, msdf0, pix_s0, o_s0, live0, brk0, dam0, steps0)
     prefix = min(_round_up(max(n // max(live_frac, 1), block), block), n)
     if prefix >= n or diag is not None:
-        d, hit_f, msdf, pix_s, dam, stp = rounds(n, state)
+        outd = rounds(n, st0)
     else:
-        max_live0 = jnp.max(jnp.sum(live0, axis=1))
-        d, hit_f, msdf, pix_s, dam, stp = jax.lax.cond(
+        max_live0 = jnp.max(jnp.sum(st0["live"], axis=1))
+        outd = jax.lax.cond(
             max_live0 > prefix,
             lambda s: rounds(n, s),
             lambda s: rounds(prefix, s),
-            state,
+            st0,
         )
 
     # one unsort back to pixel order, results as payloads
-    _, outs = sort_by(pix_s, [d, hit_f, msdf, dam, stp])
-    out = (outs[0], outs[1] > 0.5, outs[2])
+    _, od = sort_fields(
+        outd["pix"], {nm: outd[nm] for nm in out_fields if nm != "pix"}
+    )
+    out = (od["d"], od["hit"] > 0.5, od["msdf"])
     if return_anchor:
-        out = out + (outs[3],)
+        out = out + (od["dam"],)
     if return_steps:
-        out = out + (outs[4],)
+        out = out + (od["stp"],)
+    if return_last:
+        out = out + (od["lsdf"], od["live"])
     return out
 
 
@@ -975,6 +751,7 @@ def render_batched_c2f(
     live_frac: int = 3,
     return_anchor: bool = False,
     return_steps: bool = False,
+    return_last: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
@@ -989,6 +766,8 @@ def render_batched_c2f(
     renderer needs to route its whole trace through this path)."""
     import dataclasses as _dc
 
+    from dist_renderer_tpu.ops.c2f import classify_pyramid, plan_from_maps
+
     f = origins.shape[0]
     h, w = img_hw
     n = h * w
@@ -999,70 +778,31 @@ def render_batched_c2f(
     )
     diag = {}
 
-    def batched_trace(o, v, m, seed, active, tag=None, salvage=True):
-        """o/v [F, R, 3] -> per-ray fields, each [F, R]."""
+    def trace_level(o_l, v_l, seed, active, stride):
+        """Coarse level through the multi-frame fused kernel."""
         res = batched_trace_padded(
-            shared, bank, o, v, m, seed, active, block, interpret, salvage
+            shared, bank, o_l, v_l, coarse_march, seed, active, block,
+            interpret, True,
         )
-        if with_diag and tag:
+        if with_diag:
             r_pad = res.steps_per_ray.shape[0] // f
-            diag[f"{tag}_block_residency"] = res.steps_per_ray.reshape(
+            diag[f"coarse{stride}_block_residency"] = res.steps_per_ray.reshape(
                 -1, block
             ).max(axis=1)
-            diag[f"{tag}_ray_steps"] = res.steps_per_ray.reshape(
+            diag[f"coarse{stride}_ray_steps"] = res.steps_per_ray.reshape(
                 f, r_pad
-            )[:, :o.shape[1]]
-        return res.depth, res.hit, res.min_sdf, res.depth_at_min, res.unresolved
+            )[:, :o_l.shape[1]]
+        return res
 
-    o_g = origins.reshape(f, h, w, 3)
-    v_g = dirs.reshape(f, h, w, 3)
-    seed_full = None      # [F, H, W]
-    hit_any_full = None
-    hit_all_full = None
-    anchor_full = None
+    maps = classify_pyramid(
+        trace_level,
+        origins.reshape(f, h, w, 3),
+        dirs.reshape(f, h, w, 3),
+        tuple(s for s in strides if h % s == 0 and w % s == 0),
+        backoff,
+    )
 
-    for stride in strides:
-        if h % stride or w % stride:
-            continue
-        hh, ww = h // stride, w // stride
-        o_l = o_g[:, ::stride, ::stride].reshape(f, -1, 3)
-        v_l = v_g[:, ::stride, ::stride].reshape(f, -1, 3)
-        if seed_full is None:
-            seed = None
-            active = jnp.ones((f, hh * ww), bool)
-        else:
-            seed = seed_full[:, ::stride, ::stride].reshape(f, -1)
-            active = hit_any_full[:, ::stride, ::stride].reshape(f, -1)
-            seed = jnp.where(
-                active, seed,
-                anchor_full[:, ::stride, ::stride].reshape(f, -1),
-            )
-        d, hit, msdf, dam, unres = batched_trace(
-            o_l, v_l, coarse_march, seed, active, tag=f"coarse{stride}"
-        )
-        seedable = hit | unres
-        depth_grid = jnp.where(seedable, d, jnp.inf).reshape(f, hh, ww)
-        hitish = seedable.reshape(f, hh, ww)
-        strict = hit.reshape(f, hh, ww)
-        rw = lambda g, init, op: jax.lax.reduce_window(
-            g, init, op, (1, 3, 3), (1, 1, 1), "SAME"
-        )
-        dmin = rw(depth_grid, jnp.inf, jax.lax.min)
-        dmax = rw(jnp.where(jnp.isfinite(depth_grid), depth_grid, -jnp.inf),
-                  -jnp.inf, jax.lax.max)
-        hit_any = rw(hitish, False, jax.lax.bitwise_or)
-        hit_all = rw(strict, True, jax.lax.bitwise_and)
-        up = lambda g: jnp.repeat(jnp.repeat(g, stride, 1), stride, 2)
-        # tight seeds on depth-flat windows (see renderer.c2f_plan)
-        bo = jnp.where((dmax - dmin) < backoff, 0.2 * backoff, backoff)
-        seed_full = jnp.where(jnp.isfinite(up(dmin)), up(dmin) - up(bo), jnp.nan)
-        hit_any_full = up(hit_any)
-        hit_all_full = up(hit_all)
-        anchor_full = up(dam.reshape(f, hh, ww))
-        margin_full = up(msdf.reshape(f, hh, ww))
-        width_full = up(jnp.where(jnp.isfinite(dmax - dmin), dmax - dmin, jnp.inf))
-
-    if seed_full is None:  # no valid strides: plain batched march
+    if maps is None:  # no valid strides: plain batched march
         res = batched_trace_padded(
             shared, bank, origins, dirs, march, None,
             jnp.ones((f, n), bool), block, interpret, True,
@@ -1073,22 +813,17 @@ def render_batched_c2f(
         if return_steps:
             r_pad = res.steps_per_ray.shape[0] // f
             out = out + (res.steps_per_ray.reshape(f, r_pad)[:, :n],)
+        if return_last:
+            out = out + (res.last_sdf, res.unresolved)
         return out + ((diag,) if with_diag else ())
 
-    seed = seed_full.reshape(f, n)
-    hit_any = hit_any_full.reshape(f, n)
-    hit_all = hit_all_full.reshape(f, n)
-    anchor = anchor_full.reshape(f, n)
-    margin = margin_full.reshape(f, n)
-
-    skip = ~hit_any
-    init_depth = jnp.where(skip, anchor, seed)
-    rim = hit_any & ~hit_all
-    key = jnp.where(rim, 0, jnp.where(hit_all, 1, 2)).astype(jnp.int32)
+    key, init_depth, skip = plan_from_maps(maps)
+    anchor = maps.anchor.reshape(f, n)
+    margin = maps.margin.reshape(f, n)
     if with_diag:
         diag["plan_key"] = key
-        diag["plan_width"] = width_full.reshape(f, n)
-        diag["plan_seed"] = seed
+        diag["plan_width"] = maps.width.reshape(f, n)
+        diag["plan_seed"] = maps.seed.reshape(f, n)
 
     o_in = origins[:, :1, :] if shared_origin else origins
     fine = fine_march_rounds(
@@ -1096,6 +831,7 @@ def render_batched_c2f(
         block=block, round_caps=round_caps, interpret=interpret,
         diag=diag if with_diag else None, live_frac=live_frac,
         return_anchor=return_anchor, return_steps=return_steps,
+        return_last=return_last,
     )
     d, hit, msdf = fine[:3]
     # skip rays never marched: their silhouette margin is the coarse one
@@ -1108,6 +844,13 @@ def render_batched_c2f(
         k += 1
     if return_steps:
         out = out + (fine[k],)
+        k += 1
+    if return_last:
+        # skip rays' true last SDF sample is the coarse min-SDF value at
+        # their anchor; they are classified (resolved) misses
+        lsdf = jnp.where(skip, margin, fine[k])
+        unres = fine[k + 1] & ~skip
+        out = out + (lsdf, unres)
     return out + ((diag,) if with_diag else ())
 
 

@@ -39,10 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 from dist_renderer_tpu.config import DecoderConfig, MarchConfig
 from dist_renderer_tpu.models.folded import FoldedLayer
 from dist_renderer_tpu.ops.camera import ray_sphere_entry
+from dist_renderer_tpu.ops.pallas.march_body import (
+    _NEG_BIG, _POS_BIG, default_rows, march_rows, mlp_apply,
+)
 from dist_renderer_tpu.ops.tracer import TraceResult
-
-_NEG_BIG = -3.0e38  # stand-ins for +-inf that survive bf16/fp32 where-games
-_POS_BIG = 3.0e38
 
 
 def _round_up(x: int, m: int) -> int:
@@ -88,58 +88,13 @@ def pack_folded(folded: Sequence[FoldedLayer], cfg: DecoderConfig) -> PackedDeco
     return PackedDecoder(tuple(whT), tuple(wxT), tuple(bs), cfg.final_tanh)
 
 
-def _mlp(p8, w_refs, layout, final_tanh: bool):
-    """p8 [8, B] bf16 (rows 0-2 = xyz). Returns sdf [1, B] fp32.
-    `layout` is a list of ('h'|'x'|'hx') describing each layer's inputs.
-
-    w_refs are pl.Refs read AT USE inside the march loop — materializing
-    all ~3.6 MB of weights up front (outside the while_loop) made every
-    DEAD block pay an ~11.6 us VMEM sweep before its early exit (measured,
-    scripts/diag_kernel.py).
-
-    Precision note: hidden dots accumulate in fp32 and round ONCE to bf16
-    at the activation (bf16 accumulation was tried and rejected — it puts
-    p95 ~3.6e-3 of noise on the sdf VALUE, beyond the march's own
-    convergence eps, and broke the kernel-vs-fp32 parity bar)."""
-    h = None
-    idx = 0
-    n_layers = len(layout)
-    for i, kind in enumerate(layout):
-        acc = None
-        if "h" in kind:
-            w = w_refs[idx][:, :]; idx += 1
-            acc = jax.lax.dot_general(
-                w, h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        if "x" in kind:
-            w = w_refs[idx][:, :]; idx += 1
-            xz = jax.lax.dot_general(
-                w, p8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = xz if acc is None else acc + xz
-        b = w_refs[idx][:, :]; idx += 1
-        acc = acc + b
-        if i < n_layers - 1:
-            h = jnp.maximum(acc, 0.0).astype(jnp.bfloat16)
-        else:
-            h = acc
-    sdf = h[0:1, :]
-    if final_tanh:
-        sdf = jnp.tanh(sdf)
-    return sdf
-
-
 def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int,
                  salvage: bool = True):
-    eps = march.convergence_eps
-    deps = march.depth_eps
-    alpha = march.alpha
-    margin = march.far_margin
+    """Grid kernel: one ray block per grid step; march body + MLP shared
+    with the batched kernels (ops/pallas/march_body.py)."""
 
     def kernel(rays_ref, *refs):
-        w_refs = refs[:-1]
+        refs_all = refs[:-1]
         out_ref = refs[-1]
         rays = rays_ref[:, :]                      # [16, B] fp32
         o = rays[0:3, :]
@@ -150,142 +105,30 @@ def _make_kernel(layout, final_tanh: bool, march: MarchConfig, max_steps: int,
         act0 = rays[9:10, :]                       # 1.0 / 0.0
 
         B = d.shape[1]
-        f32 = jnp.float32
-        zeros = jnp.zeros((1, B), f32)
+        zeros = jnp.zeros((1, B), jnp.float32)
 
         # dead-block fast path: emit the init-state outputs and return —
         # class-sorted launches have many all-inactive blocks, and the
         # per-block prologue (carry init + loop entry) is the bulk of
         # their ~11 us cost (scripts/diag_kernel.py)
-        big = jnp.full((1, B), _POS_BIG, f32)
-        out_ref[:, :] = jnp.concatenate(
-            [d, zeros, big, d, big, zeros, zeros, zeros], axis=0
-        )
+        out_ref[:, :] = default_rows(d, zeros)
 
         @pl.when(jnp.max(act0) > 0.5)
         def _march_block():
-            _kernel_body(rays_ref, w_refs, out_ref)
-
-    def _kernel_body(rays_ref, w_refs, out_ref):
-        rays = rays_ref[:, :]                      # [16, B] fp32
-        o = rays[0:3, :]
-        v = rays[3:6, :]
-        d = rays[6:7, :]
-        near = rays[7:8, :]
-        far = rays[8:9, :]
-        act0 = rays[9:10, :]
-        B = d.shape[1]
-        f32 = jnp.float32
-        zeros = jnp.zeros((1, B), f32)
-        # NOTE: every carried value is fp32 — Mosaic fails to legalize i1
-        # vectors in the scf.for carry (observed: roll_vectors on
-        # vector<1x512xi1>). Flags travel as 0.0/1.0 and are re-derived as
-        # bools locally each step.
-        carry0 = (
-            d,                                   # d
-            act0,                                # active flag
-            zeros,                               # hit flag
-            jnp.full((1, B), _NEG_BIG, f32),     # d_lo
-            jnp.full((1, B), _POS_BIG, f32),     # f_lo
-            jnp.full((1, B), _POS_BIG, f32),     # d_hi
-            jnp.full((1, B), _NEG_BIG, f32),     # f_hi
-            jnp.full((1, B), _POS_BIG, f32),     # min_sdf
-            d,                                   # d_at_min
-            jnp.full((1, B), _POS_BIG, f32),     # last_f
-            zeros,                               # steps
-            zeros,                               # exhausted-without-bracket
-        )
-
-        def march_one(c):
-            (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-             last_f, steps, unres_f) = c
-            act = act_f > 0.5
-            p = o + d * v                          # [3, B]
-            p8 = jnp.concatenate([p, jnp.zeros((5, B), f32)], axis=0)
-            f = _mlp(p8.astype(jnp.bfloat16), w_refs, layout, final_tanh)
-
-            better = act & (f < min_sdf)
-            min_sdf = jnp.where(better, f, min_sdf)
-            d_at_min = jnp.where(better, d, d_at_min)
-
-            outside = f > 0.0
-            d_lo = jnp.where(act & outside, d, d_lo)
-            f_lo = jnp.where(act & outside, f, f_lo)
-            d_hi = jnp.where(act & ~outside, d, d_hi)
-            f_hi = jnp.where(act & ~outside, f, f_hi)
-            bracketed = (d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)
-            width = d_hi - d_lo
-
-            converged = act & (
-                (jnp.abs(f) < eps) | (bracketed & (width < deps))
+            # split the interleaved (wh?, wx?, b) refs into weight refs
+            # and per-layer [out_p, 1] bias columns (read once, alive only)
+            w_refs, biases = [], []
+            idx = 0
+            for kind in layout:
+                for _ in kind:
+                    w_refs.append(refs_all[idx])
+                    idx += 1
+                biases.append(refs_all[idx][:, :])
+                idx += 1
+            mlp = lambda p8: mlp_apply(layout, w_refs, biases, final_tanh, p8)
+            out_ref[:, :] = march_rows(
+                mlp, o, v, d, near, far, act0, march, max_steps, salvage
             )
-
-            d_aggr = d + alpha * f
-            denom = f_hi - f_lo
-            secant = (d_lo * f_hi - d_hi * f_lo) / jnp.where(denom == 0.0, 1.0, denom)
-            secant = jnp.clip(secant, d_lo + 0.05 * width, d_hi - 0.05 * width)
-            d_back = d + f
-            d_next = jnp.where(
-                bracketed, secant, jnp.where(outside, d_aggr, d_back)
-            )
-
-            steps = steps + jnp.where(act, 1.0, 0.0)
-            exhausted = steps >= float(max_steps)
-            escaped = (~bracketed) & ((d_next > far) | (d_next < near - margin))
-            missed = act & ~converged & (escaped | exhausted)
-            if salvage:
-                # final round: accept the bracket midpoint on exhaustion
-                salvaged = act & ~converged & exhausted & bracketed
-            else:
-                # step-capped round: bracketed-but-unconverged rays REQUEUE
-                salvaged = jnp.zeros_like(act)
-            missed = missed & ~salvaged
-            converged = converged | salvaged
-
-            still = act & ~converged & ~missed
-            d = jnp.where(
-                still, d_next, jnp.where(salvaged, 0.5 * (d_lo + d_hi), d)
-            )
-            last_f = jnp.where(act, f, last_f)
-            hit_f = jnp.maximum(hit_f, jnp.where(converged, 1.0, 0.0))
-            open_exh = act & ~converged & exhausted & (
-                jnp.ones_like(act) if not salvage else ~bracketed
-            )
-            unres_f = jnp.maximum(unres_f, jnp.where(open_exh, 1.0, 0.0))
-            return (d, jnp.where(still, 1.0, 0.0), hit_f, d_lo, f_lo, d_hi,
-                    f_hi, min_sdf, d_at_min, last_f, steps, unres_f)
-
-        # Genuine early exit: the while_loop ENDS when the block's rays are
-        # all done — a fori_loop + cond still cycles max_steps iterations
-        # per block, and that fixed overhead dominated dead blocks
-        # (measured: classified c2f gained nothing under fori).
-        def loop_cond(kc):
-            k, c = kc
-            return (k < max_steps) & (jnp.max(c[1]) > 0.5)
-
-        def loop_body(kc):
-            k, c = kc
-            return (k + 1, march_one(c))
-
-        _, out = jax.lax.while_loop(loop_cond, loop_body, (0, carry0))
-        (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-         last_f, steps, unres_f) = out
-
-        brk = ((d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)).astype(f32)
-        res = jnp.concatenate(
-            [
-                d,
-                hit_f,
-                min_sdf,
-                d_at_min,
-                last_f,
-                steps,
-                jnp.maximum(act_f, unres_f),        # unresolved at exit
-                brk,                                # owns a bracket at exit
-            ],
-            axis=0,
-        )                                           # [8, B]
-        out_ref[:, :] = res
 
     return kernel
 

@@ -83,16 +83,17 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
     ray subdivision + active-set shrinkage, with one sort per frame
     instead of per step.
 
-    Entirely non-differentiable (runs under stop_gradient)."""
+    Entirely non-differentiable (runs under stop_gradient). The pyramid +
+    classification logic is the shared ops/c2f.py implementation (one copy
+    for the single-frame, batched, and sharded paths)."""
     import dataclasses as _dc
+    import types
+
+    from dist_renderer_tpu.ops.binning import counting_sort_perm
+    from dist_renderer_tpu.ops.c2f import classify_pyramid, plan_from_maps
 
     h_full, w_full = cfg.img_h, cfg.img_w
-    o_g = origins.reshape(h_full, w_full, 3)
-    v_g = dirs.reshape(h_full, w_full, 3)
-    seed_full = None
-    hit_any_full = None
-    hit_all_full = None
-    anchor_full = None
+    n = h_full * w_full
 
     # coarse levels only inform classification/seeding: cap their march.
     # (Relaxing coarse convergence eps was tried and REGRESSED: block
@@ -107,32 +108,21 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
         ),
     )
 
-    for stride in cfg.c2f_strides_valid():
-        h, w = h_full // stride, w_full // stride
-        o_l = o_g[::stride, ::stride].reshape(-1, 3)
-        v_l = v_g[::stride, ::stride].reshape(-1, 3)
-        init = None
-        active = None
-        if seed_full is not None:
-            init = seed_full[::stride, ::stride].reshape(-1)
-            if cfg.march.c2f_classify:
-                # level-wise skip: coarse rays whose parent neighborhood
-                # missed entirely never re-march — background cost is paid
-                # only at the coarsest level. Their margin anchor (stored
-                # in init) propagates down to the fine level.
-                active = hit_any_full[::stride, ::stride].reshape(-1)
-                init = jnp.where(
-                    active, init, anchor_full[::stride, ::stride].reshape(-1)
-                )
-        if active is not None and cfg.march.c2f_classify:
-            # per-level work-homogeneous ordering: skip-last, rim-first
-            key = jnp.where(active & jnp.isnan(init), 0,
-                            jnp.where(active, 1, 2)).astype(jnp.int32)
-            from dist_renderer_tpu.ops.binning import counting_sort_perm
+    def trace_level(o_l, v_l, seed, active, stride):
+        """[1, R] level -> [1, R] trace fields, through this renderer's
+        tracer dispatch, with the per-level work-homogeneous ordering
+        (skip-last, rim-first) the fused kernel path wants."""
+        o1, v1 = o_l[0], v_l[0]
+        if seed is None:
+            res = _trace(march_fn, o1, v1, coarse_cfg, None, None)
+        elif cfg.march.c2f_classify:
+            init, act = seed[0], active[0]
+            key = jnp.where(act & jnp.isnan(init), 0,
+                            jnp.where(act, 1, 2)).astype(jnp.int32)
             order, inv = counting_sort_perm(key, 3)
             res_s = _trace(
-                march_fn, o_l[order], v_l[order], coarse_cfg,
-                init[order], active[order],
+                march_fn, o1[order], v1[order], coarse_cfg,
+                init[order], act[order],
             )
             res = jax.tree_util.tree_map(
                 lambda a: jnp.take(a, inv, axis=0)
@@ -140,72 +130,40 @@ def c2f_plan(march_fn, origins, dirs, cfg: RenderConfig) -> C2FPlan:
                 res_s,
             )
         else:
-            res = _trace(march_fn, o_l, v_l, coarse_cfg, init, active)
-        # seedable depth: converged depth for hits; for step-capped
-        # UNRESOLVED rays the current march distance (a safe lower bound
-        # on their surface distance — partial progress is not wasted)
-        depth_grid = jnp.where(
-            res.hit | res.unresolved, res.depth, jnp.inf
-        ).reshape(h, w)
-        # conservative "hit" for classification: an unresolved coarse ray
-        # must not cause its fine children to be skipped (true misses —
-        # far-bound exits — classify normally)
-        hit_grid = (res.hit | res.unresolved).reshape(h, w)
-        hit_strict = res.hit.reshape(h, w)
-        # min over 3x3 neighborhood -> conservative seed; where the window
-        # is depth-FLAT (range below the backoff) the surface is locally
-        # planar and a tight seed (small backoff) saves ~5 march steps per
-        # interior ray without overshoot risk
-        dmin = jax.lax.reduce_window(
-            depth_grid, jnp.inf, jax.lax.min, (3, 3), (1, 1), "SAME"
+            res = _trace(march_fn, o1, v1, coarse_cfg, seed[0], active[0])
+        return types.SimpleNamespace(
+            depth=res.depth[None], hit=res.hit[None],
+            unresolved=res.unresolved[None],
+            depth_at_min=res.depth_at_min[None], min_sdf=res.min_sdf[None],
         )
-        dmax = jax.lax.reduce_window(
-            jnp.where(jnp.isfinite(depth_grid), depth_grid, -jnp.inf),
-            -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME",
-        )
-        hit_any = jax.lax.reduce_window(
-            hit_grid, False, jax.lax.bitwise_or, (3, 3), (1, 1), "SAME"
-        )
-        hit_all = jax.lax.reduce_window(
-            hit_strict, True, jax.lax.bitwise_and, (3, 3), (1, 1), "SAME"
-        )
-        up = lambda g: jnp.repeat(jnp.repeat(g, stride, axis=0), stride, axis=1)
-        flat = (dmax - dmin) < cfg.march.c2f_backoff
-        backoff = jnp.where(flat, 0.2 * cfg.march.c2f_backoff, cfg.march.c2f_backoff)
-        seed_full = jnp.where(
-            jnp.isfinite(up(dmin)), up(dmin) - up(backoff), jnp.nan
-        )
-        hit_any_full = up(hit_any)
-        hit_all_full = up(hit_all)
-        anchor_full = up(res.depth_at_min.reshape(h, w))
 
-    n = h_full * w_full
-    seed = seed_full.reshape(-1)
-    if not cfg.march.c2f_classify:
+    maps = classify_pyramid(
+        trace_level,
+        origins.reshape(1, h_full, w_full, 3),
+        dirs.reshape(1, h_full, w_full, 3),
+        cfg.c2f_strides_valid(),
+        cfg.march.c2f_backoff,
+    )
+    if maps is None:  # no valid strides: no plan
         return C2FPlan(
-            init_depth=seed,
+            init_depth=jnp.full((n,), jnp.nan),
             init_active=jnp.ones((n,), bool),
             order=jnp.arange(n),
         )
 
-    hit_any = hit_any_full.reshape(-1)
-    hit_all = hit_all_full.reshape(-1)
-    anchor = anchor_full.reshape(-1)
+    if not cfg.march.c2f_classify:
+        return C2FPlan(
+            init_depth=maps.seed.reshape(-1),
+            init_active=jnp.ones((n,), bool),
+            order=jnp.arange(n),
+        )
 
-    skip = ~hit_any                        # margin anchored at coarse min
-    interior = hit_all                     # tight seed
-    rim = hit_any & ~hit_all               # marches, seeded when a
-                                           # neighbor provides a bound
-                                           # (reference's subdivision also
-                                           # inherits the parent depth)
-
-    init_depth = jnp.where(skip, anchor, seed)
-    init_active = ~skip
-    from dist_renderer_tpu.ops.binning import counting_sort_perm
-
-    key = jnp.where(rim, 0, jnp.where(interior, 1, 2)).astype(jnp.int32)
-    order, _ = counting_sort_perm(key, 3)
-    return C2FPlan(init_depth=init_depth, init_active=init_active, order=order)
+    key, init_depth, skip = plan_from_maps(maps)
+    # rim rays march seeded when a neighbor provides a bound (the
+    # reference's subdivision also inherits the parent depth); ordering
+    # rim -> interior -> skip keeps fixed ray blocks work-homogeneous
+    order, _ = counting_sort_perm(key[0], 3)
+    return C2FPlan(init_depth=init_depth[0], init_active=~skip[0], order=order)
 
 
 def c2f_seed_depth(march_fn, origins, dirs, cfg: RenderConfig) -> jax.Array:
@@ -473,33 +431,34 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
                 reaching it is an error, not just waste."""
                 origins = _sg(origins)
                 dirs = _sg(dirs)
-                d, hit, msdf, dam, steps = render_batched_c2f(
+                d, hit, msdf, dam, steps, lsdf, unres = render_batched_c2f(
                     params, dcfg, z[None], origins[None], dirs[None],
                     img_hw, march,
                     strides=march.c2f_strides,
                     coarse_steps=march.c2f_coarse_steps,
                     backoff=march.c2f_backoff,
                     shared_origin=True, return_anchor=True,
-                    return_steps=True,
+                    return_steps=True, return_last=True,
                     interpret=interpret,
                 )
-                n = d.shape[1]
                 from dist_renderer_tpu.ops.tracer import (
                     TraceResult, live_counts_from_steps,
                 )
 
                 # per-ray step counts keep the profiling subsystem's
-                # live-ray telemetry on the production path (unused
-                # consumers are pruned by XLA)
+                # live-ray telemetry on the production path; last_sdf and
+                # unresolved are the kernel's REAL per-ray values (skip
+                # rays carry their coarse min-SDF sample), not fabricated
+                # zeros (unused consumers are pruned by XLA)
                 steps = steps[0]
                 return TraceResult(
                     depth=d[0], hit=hit[0], min_sdf=msdf[0],
                     depth_at_min=dam[0],
-                    last_sdf=jnp.zeros((n,), jnp.float32),
+                    last_sdf=lsdf[0],
                     steps_used=jnp.max(steps),
                     live_counts=live_counts_from_steps(
                         steps, march.max_steps),
-                    unresolved=jnp.zeros((n,), bool),
+                    unresolved=unres[0],
                     steps_per_ray=steps,
                 )
 

@@ -200,6 +200,7 @@ def render_batched_c2f_sharded(
     """
     import dataclasses as _dc
 
+    from dist_renderer_tpu.ops.c2f import classify_pyramid, plan_from_maps
     from dist_renderer_tpu.ops.pallas.batched_march import (
         batched_trace_padded, fine_march_rounds, fold_bias_bank, pack_shared,
     )
@@ -266,70 +267,24 @@ def render_batched_c2f_sharded(
     def _shard(lat, o, v):
         f_loc = lat.shape[0]
         bank = fold_bias_bank(params, lat, dcfg, shared)
-        o_g = o.reshape(f_loc, h_loc, w, 3)
-        v_g = v.reshape(f_loc, h_loc, w, 3)
-        seed_full = None      # [F_loc, h_loc, w]
-        hit_any_full = None
-        hit_all_full = None
-        anchor_full = None
-        margin_full = None
 
-        for stride in valid:
-            hc, wc = h_loc // stride, w // stride
-            o_c = o_g[:, ::stride, ::stride].reshape(f_loc, -1, 3)
-            v_c = v_g[:, ::stride, ::stride].reshape(f_loc, -1, 3)
-            if seed_full is None:
-                lvl_seed = None
-                lvl_active = jnp.ones((f_loc, hc * wc), bool)
-            else:
-                lvl_seed = seed_full[:, ::stride, ::stride].reshape(f_loc, -1)
-                lvl_active = hit_any_full[:, ::stride, ::stride].reshape(
-                    f_loc, -1
-                )
-                lvl_seed = jnp.where(
-                    lvl_active, lvl_seed,
-                    anchor_full[:, ::stride, ::stride].reshape(f_loc, -1),
-                )
-
-            res_c = batched_trace_padded(
-                shared, bank, o_c, v_c, coarse_march, lvl_seed,
+        def trace_level(o_l, v_l, lvl_seed, lvl_active, stride):
+            return batched_trace_padded(
+                shared, bank, o_l, v_l, coarse_march, lvl_seed,
                 lvl_active, block, interpret,
             )
-            seedable = res_c.hit | res_c.unresolved
-            depth_grid = jnp.where(seedable, res_c.depth, jnp.inf).reshape(
-                f_loc, hc, wc
-            )
-            hitish = seedable.reshape(f_loc, hc, wc)
-            strict = res_c.hit.reshape(f_loc, hc, wc)
 
-            dmin = _windows(depth_grid, jax.lax.min, jnp.inf)
-            dmax = _windows(
-                jnp.where(jnp.isfinite(depth_grid), depth_grid, -jnp.inf),
-                jax.lax.max, -jnp.inf,
-            )
-            hit_any = _windows(hitish, jax.lax.bitwise_or, False)
-            hit_all = _windows(strict, jax.lax.bitwise_and, True)
-
-            up = lambda g: jnp.repeat(jnp.repeat(g, stride, 1), stride, 2)
-            bo = jnp.where((dmax - dmin) < backoff, 0.2 * backoff, backoff)
-            seed_full = jnp.where(
-                jnp.isfinite(up(dmin)), up(dmin) - up(bo), jnp.nan
-            )
-            hit_any_full = up(hit_any)
-            hit_all_full = up(hit_all)
-            anchor_full = up(res_c.depth_at_min.reshape(f_loc, hc, wc))
-            margin_full = up(res_c.min_sdf.reshape(f_loc, hc, wc))
-
-        seed = seed_full.reshape(f_loc, -1)
-        hit_any_f = hit_any_full.reshape(f_loc, -1)
-        hit_all_f = hit_all_full.reshape(f_loc, -1)
-        anchor = anchor_full.reshape(f_loc, -1)
-        margin = margin_full.reshape(f_loc, -1)
-
-        skip = ~hit_any_f
-        init_depth = jnp.where(skip, anchor, seed)
-        rim = hit_any_f & ~hit_all_f
-        key = jnp.where(rim, 0, jnp.where(hit_all_f, 1, 2)).astype(jnp.int32)
+        # shared classification pipeline with the halo-exchanging window
+        # reduce — the ONLY difference from the single-device plan, and it
+        # reproduces SAME-padding truncation bitwise (plan-exact)
+        maps = classify_pyramid(
+            trace_level,
+            o.reshape(f_loc, h_loc, w, 3),
+            v.reshape(f_loc, h_loc, w, 3),
+            valid, backoff, windows=_windows,
+        )
+        key, init_depth, skip = plan_from_maps(maps)
+        margin = maps.margin.reshape(f_loc, -1)
         o_in = o[:, :1, :] if shared_origin else o
         d, hit, msdf = fine_march_rounds(
             shared, bank, o_in, v, key, init_depth, march,
