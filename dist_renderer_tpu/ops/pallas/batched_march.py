@@ -683,7 +683,21 @@ def fine_march_rounds(
                 bucket = min(_round_up(max(n // 4, block), block), width)
             else:
                 bucket = width
-            st = run_round(ri, st, bucket, m, False)
+            if bucket >= width or diag is not None:
+                st = run_round(ri, st, width, m, False)
+            else:
+                # overflow guard: EVERY live ray must receive EVERY round's
+                # step cap, or the total march budget becomes layout-
+                # dependent (a sharded band and the full frame would give
+                # different results — caught by the multichip flagship
+                # gate with a rough decoder at tight budgets)
+                max_live = jnp.max(jnp.sum(st["live"], axis=1))
+                st = jax.lax.cond(
+                    max_live > bucket,
+                    lambda s, ri=ri, m=m: run_round(ri, s, width, m, False),
+                    lambda s, ri=ri, m=m: run_round(ri, s, bucket, m, False),
+                    st,
+                )
 
         # FINAL round: full remaining budget; bucketed w/ overflow fallback
         st = repack(st)

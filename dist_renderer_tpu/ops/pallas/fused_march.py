@@ -374,7 +374,19 @@ def pallas_sphere_trace_rounds(
         else:
             state = repack(state)
             bucket = min(_round_up(max(n // 4, block), block), n)
-            state = run_round(state, bucket, m, False)
+            if bucket >= n:
+                state = run_round(state, bucket, m, False)
+            else:
+                # overflow guard (mirrors fine_march_rounds): every live
+                # ray must receive every round's cap, else total budget
+                # depends on how many rays fit the bucket
+                n_live = jnp.sum(state["live"])
+                state = jax.lax.cond(
+                    n_live > bucket,
+                    lambda s, m=m: run_round(s, n, m, False),
+                    lambda s, m=m, b=bucket: run_round(s, b, m, False),
+                    state,
+                )
 
     # FINAL round: full remaining budget, bucketed with overflow fallback
     state = repack(state)

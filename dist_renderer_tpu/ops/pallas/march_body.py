@@ -88,41 +88,70 @@ def default_rows(d, zeros):
     return jnp.concatenate([d, zeros, big, d, big, zeros, zeros, zeros], axis=0)
 
 
-def march_rows(mlp, o, v, d0, near, far, act0, march, max_steps, salvage):
-    """Run the full bracket-secant march for one ray block.
+def make_carry(d0, act0, *, hit=None, d_lo=None, f_lo=None, d_hi=None,
+               f_hi=None, min_sdf=None, d_at_min=None, last_f=None,
+               steps=None, unres=None):
+    """Build the 12-tuple march carry. Defaults give a FRESH march; the
+    work-queue kernel overrides fields to CONTINUE a paused ray exactly
+    where it left off (depth, bracket, min-SDF accumulators, step count —
+    the march step is Markov in this carry, so a continued march is
+    bit-identical to an uninterrupted one)."""
+    f32 = jnp.float32
+    B = d0.shape[1]
+    zeros = jnp.zeros((1, B), f32)
 
-    mlp: p8_bf16 [8, B] -> sdf [1, B] fp32 closure (weights/biases bound
-    by the calling kernel). o [3, B], v [3, B]; d0/near/far/act0 [1, B]
-    fp32 (act0 is a 0/1 flag). march supplies eps/alpha/margins;
-    max_steps the budget; salvage=True accepts the bracket midpoint on
-    exhaustion (final round), salvage=False requeues
-    bracketed-but-unconverged rays (step-capped rounds).
+    def dflt(x, val):
+        return x if x is not None else jnp.full((1, B), val, f32)
 
-    Returns [8, B] fp32 rows: depth, hit, min_sdf, depth_at_min, last_f,
-    steps, unresolved-at-exit, owns-a-bracket.
+    return (
+        d0,                                   # d
+        act0,                                 # active flag
+        hit if hit is not None else zeros,    # hit flag
+        dflt(d_lo, _NEG_BIG),
+        dflt(f_lo, _POS_BIG),
+        dflt(d_hi, _POS_BIG),
+        dflt(f_hi, _NEG_BIG),
+        dflt(min_sdf, _POS_BIG),
+        d_at_min if d_at_min is not None else d0,
+        dflt(last_f, _POS_BIG),
+        steps if steps is not None else zeros,
+        unres if unres is not None else zeros,  # exhausted-without-bracket
+    )
+
+
+def rows_from_carry(outc):
+    """Format a final march carry as the standard [8, B] output rows:
+    depth, hit, min_sdf, depth_at_min, last_f, steps, unresolved-at-exit,
+    owns-a-bracket."""
+    (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
+     last_f, steps, unres_f) = outc
+    f32 = jnp.float32
+    brk = ((d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)).astype(f32)
+    return jnp.concatenate(
+        [d, hit_f, min_sdf, d_at_min, last_f, steps,
+         jnp.maximum(act_f, unres_f), brk],
+        axis=0,
+    )
+
+
+def march_loop(mlp, o, v, near, far, march, max_steps, salvage, carry0,
+               kmax=None):
+    """Run the bracket-secant march while_loop from an arbitrary carry.
+
+    kmax bounds THIS call's block iterations (a work-queue generation
+    cap — rays still active at kmax are paused, their carry rows
+    requeued); max_steps is the per-ray TOTAL budget (the carry's step
+    counter is compared against it for exhaustion). kmax=None means
+    max_steps. Returns the final carry.
     """
     eps = march.convergence_eps
     deps = march.depth_eps
     alpha = march.alpha
     margin = march.far_margin
     f32 = jnp.float32
-    B = d0.shape[1]
-    zeros = jnp.zeros((1, B), f32)
-
-    carry0 = (
-        d0,                                  # d
-        act0,                                # active flag
-        zeros,                               # hit flag
-        jnp.full((1, B), _NEG_BIG, f32),     # d_lo
-        jnp.full((1, B), _POS_BIG, f32),     # f_lo
-        jnp.full((1, B), _POS_BIG, f32),     # d_hi
-        jnp.full((1, B), _NEG_BIG, f32),     # f_hi
-        jnp.full((1, B), _POS_BIG, f32),     # min_sdf
-        d0,                                  # d_at_min
-        jnp.full((1, B), _POS_BIG, f32),     # last_f
-        zeros,                               # steps
-        zeros,                               # exhausted-without-bracket
-    )
+    B = o.shape[1]
+    if kmax is None:
+        kmax = max_steps
 
     def march_one(c):
         (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
@@ -182,18 +211,29 @@ def march_rows(mlp, o, v, d0, near, far, act0, march, max_steps, salvage):
     # all done — a fori_loop + cond still cycles max_steps iterations.
     def loop_cond(kc):
         k, c = kc
-        return (k < max_steps) & (jnp.max(c[1]) > 0.5)
+        return (k < kmax) & (jnp.max(c[1]) > 0.5)
 
     def loop_body(kc):
         k, c = kc
         return (k + 1, march_one(c))
 
     _, outc = jax.lax.while_loop(loop_cond, loop_body, (0, carry0))
-    (d, act_f, hit_f, d_lo, f_lo, d_hi, f_hi, min_sdf, d_at_min,
-     last_f, steps, unres_f) = outc
-    brk = ((d_lo > _NEG_BIG / 2) & (d_hi < _POS_BIG / 2)).astype(f32)
-    return jnp.concatenate(
-        [d, hit_f, min_sdf, d_at_min, last_f, steps,
-         jnp.maximum(act_f, unres_f), brk],
-        axis=0,
-    )
+    return outc
+
+
+def march_rows(mlp, o, v, d0, near, far, act0, march, max_steps, salvage):
+    """Fresh full march for one ray block, formatted as output rows.
+
+    mlp: p8_bf16 [8, B] -> sdf [1, B] fp32 closure (weights/biases bound
+    by the calling kernel). o [3, B], v [3, B]; d0/near/far/act0 [1, B]
+    fp32 (act0 is a 0/1 flag). march supplies eps/alpha/margins;
+    max_steps the budget; salvage=True accepts the bracket midpoint on
+    exhaustion (final round), salvage=False requeues
+    bracketed-but-unconverged rays (step-capped rounds).
+
+    Returns [8, B] fp32 rows: depth, hit, min_sdf, depth_at_min, last_f,
+    steps, unresolved-at-exit, owns-a-bracket.
+    """
+    carry0 = make_carry(d0, act0)
+    outc = march_loop(mlp, o, v, near, far, march, max_steps, salvage, carry0)
+    return rows_from_carry(outc)
