@@ -766,6 +766,8 @@ def render_batched_c2f(
     return_anchor: bool = False,
     return_steps: bool = False,
     return_last: bool = False,
+    scheduler: str = "rounds",
+    queue_caps: Tuple[int, ...] = (6, 16),
 ) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
@@ -840,6 +842,25 @@ def render_batched_c2f(
         diag["plan_seed"] = maps.seed.reshape(f, n)
 
     o_in = origins[:, :1, :] if shared_origin else origins
+    if scheduler == "queue":
+        # ONE-launch work-queue march: no class sort, no repack sorts, no
+        # unsort — every telemetry field comes back free, in pixel order
+        from dist_renderer_tpu.ops.pallas.queue_march import queue_march
+
+        d, hit, msdf, dam, lastf, steps, unres = queue_march(
+            shared, bank, o_in, dirs, key, init_depth, march,
+            block=block, gen_caps=queue_caps, interpret=interpret,
+        )
+        msdf = jnp.where(skip, margin, msdf)
+        out = (d, hit, msdf)
+        if return_anchor:
+            out = out + (jnp.where(skip, anchor, dam),)
+        if return_steps:
+            out = out + (steps.astype(jnp.int32),)
+        if return_last:
+            out = out + (jnp.where(skip, margin, lastf), unres & ~skip)
+        return out + ((diag,) if with_diag else ())
+
     fine = fine_march_rounds(
         shared, bank, o_in, dirs, key, init_depth, march,
         block=block, round_caps=round_caps, interpret=interpret,

@@ -439,6 +439,7 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
                     backoff=march.c2f_backoff,
                     shared_origin=True, return_anchor=True,
                     return_steps=True, return_last=True,
+                    scheduler=march.scheduler, queue_caps=march.queue_caps,
                     interpret=interpret,
                 )
                 from dist_renderer_tpu.ops.tracer import (
