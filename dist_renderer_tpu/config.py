@@ -88,11 +88,12 @@ class MarchConfig:
                                     # march (margin anchored at the coarse
                                     # min-SDF point); rays sorted by class so
                                     # Pallas blocks are work-homogeneous
-    scheduler: str = "rounds"       # fine-march scheduler: "rounds" (multi-
+    scheduler: str = "auto"         # fine-march scheduler: "rounds" (multi-
                                     # round XLA sort re-binning) | "queue"
                                     # (one-launch in-kernel work queue;
-                                    # semantically ONE full-budget march)
-    queue_caps: Tuple[int, ...] = (6, 16)  # work-queue generation caps
+                                    # semantically ONE full-budget march) |
+                                    # "auto" (queue at F=1, rounds batched)
+    queue_caps: Tuple[int, ...] = (1, 2, 6, 16)  # work-queue generation caps
 
 
 @dataclasses.dataclass(frozen=True)

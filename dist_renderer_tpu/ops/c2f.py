@@ -135,6 +135,55 @@ def classify_pyramid(
     return maps
 
 
+def warm_maps(
+    depth: jax.Array,      # [F, H*W] previous iteration's depth
+    hitish: jax.Array,     # [F, H*W] bool: prev hit OR unresolved
+    anchor: jax.Array,     # [F, H*W] prev depth_at_min (margin anchors)
+    margin: jax.Array,     # [F, H*W] prev min_sdf (skip-ray silhouette)
+    img_hw: Tuple[int, int],
+    backoff: float,
+    dilate: int = 4,
+    windows: Callable = default_windows,
+) -> C2FMaps:
+    """Classification maps from the PREVIOUS optimizer iteration's trace
+    instead of a coarse pyramid (SURVEY.md §3.3-3.5: configs #2-#4 render
+    the SAME camera hundreds of times while latent/pose move slightly —
+    iteration k's depth map is a near-perfect interior seed for k+1).
+
+    Same contract as classify_pyramid's output, built from stride-1
+    windows: interior = 3x3 all-hit (seed at window-min - backoff), skip =
+    nothing hit within a (2*dilate+1)^2 window — the dilation is the
+    safety margin for inter-iteration silhouette motion; rays the shape
+    could newly cover stay rim and get a full march. Unresolved-at-exit
+    rays count as hits (never wrongly skipped), mirroring the pyramid's
+    safety rule. Callers should still refresh with a full pyramid render
+    every N steps (the dilation bounds per-step motion, not drift)."""
+    f = depth.shape[0]
+    h, w = img_hw
+    dg = jnp.where(hitish, depth, jnp.inf).reshape(f, h, w)
+    hg = hitish.reshape(f, h, w)
+
+    dmin = windows(dg, jax.lax.min, jnp.inf)
+    dmax = windows(
+        jnp.where(jnp.isfinite(dg), dg, -jnp.inf), jax.lax.max, -jnp.inf
+    )
+    hit_all = windows(hg, jax.lax.bitwise_and, True)
+    hit_any = hg
+    for _ in range(max(dilate, 1)):   # iterated 3x3 OR = (2k+1)^2 dilation
+        hit_any = windows(hit_any, jax.lax.bitwise_or, False)
+
+    rng = dmax - dmin
+    bo = jnp.where(rng < backoff, 0.2 * backoff, backoff)
+    return C2FMaps(
+        seed=jnp.where(jnp.isfinite(dmin), dmin - bo, jnp.nan),
+        hit_any=hit_any,
+        hit_all=hit_all,
+        anchor=anchor.reshape(f, h, w),
+        margin=margin.reshape(f, h, w),
+        width=jnp.where(jnp.isfinite(rng), rng, jnp.inf),
+    )
+
+
 def plan_from_maps(maps: C2FMaps) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Flatten maps into the per-ray plan: (key, init_depth, skip), each
     [F, H*W]. key: 0 = rim (full march), 1 = interior (tight seed),

@@ -768,6 +768,7 @@ def render_batched_c2f(
     return_last: bool = False,
     scheduler: str = "rounds",
     queue_caps: Tuple[int, ...] = (6, 16),
+    warm: Optional[Tuple[jax.Array, ...]] = None,
 ) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
@@ -810,13 +811,23 @@ def render_batched_c2f(
             )[:, :o_l.shape[1]]
         return res
 
-    maps = classify_pyramid(
-        trace_level,
-        origins.reshape(f, h, w, 3),
-        dirs.reshape(f, h, w, 3),
-        tuple(s for s in strides if h % s == 0 and w % s == 0),
-        backoff,
-    )
+    if warm is not None:
+        # warm start: classification from the previous iteration's trace
+        # (depth, hitish, anchor, margin each [F, N]) — the coarse
+        # pyramid is skipped entirely (SURVEY.md §3.3-3.5 inner loops)
+        from dist_renderer_tpu.ops.c2f import warm_maps
+
+        w_depth, w_hitish, w_anchor, w_margin = warm
+        maps = warm_maps(w_depth, w_hitish, w_anchor, w_margin,
+                         img_hw, backoff)
+    else:
+        maps = classify_pyramid(
+            trace_level,
+            origins.reshape(f, h, w, 3),
+            dirs.reshape(f, h, w, 3),
+            tuple(s for s in strides if h % s == 0 and w % s == 0),
+            backoff,
+        )
 
     if maps is None:  # no valid strides: plain batched march
         res = batched_trace_padded(
@@ -842,6 +853,12 @@ def render_batched_c2f(
         diag["plan_seed"] = maps.seed.reshape(f, n)
 
     o_in = origins[:, :1, :] if shared_origin else origins
+    if scheduler == "auto":
+        # measured on v5e at 512^2: the one-launch queue wins single-frame
+        # latency (no per-frame sort glue: 32.5 -> 21.7 ms) while the
+        # rounds scheduler wins batched throughput (sorts vectorize over
+        # frames; the queue's chunk walk is sequential in F)
+        scheduler = "queue" if f == 1 else "rounds"
     if scheduler == "queue":
         # ONE-launch work-queue march: no class sort, no repack sorts, no
         # unsort — every telemetry field comes back free, in pixel order

@@ -75,25 +75,25 @@ N_RES = 16            # queue-result rows: 8 out + pix + valid + pad
 
 
 def _make_queue_kernel(shared: SharedDecoder, march: MarchConfig,
-                       gen_caps: Tuple[int, ...], block: int,
+                       n_caps: int, block: int,
                        qcap_rays: int, cpf: int):
-    """gen_caps: per-generation block-iteration caps; the LAST entry must
-    be >= march.max_steps (full budget) so no ray survives the final
-    generation."""
+    """n_caps: length of the caps_smem schedule array (generation caps,
+    runtime values); its LAST entry must be >= march.max_steps (full
+    budget) so no ray survives the final generation."""
     kinds = _kinds(shared)
     offsets = shared.offsets
     B = block
     max_steps = march.max_steps
     S_CUR, S_CNT, S_FRAME, S_OVF, S_TILE = 0, 1, 2, 3, 4
 
-    def kernel(live_idx, n_live, frame_of_chunk, rays_hbm, bias_hbm,
-               tri_ref, *rest):
+    def kernel(live_idx, n_live, frame_of_chunk, caps_smem, rays_hbm,
+               bias_hbm, tri_ref, *rest):
         n_w = len([w for w in (list(shared.whT) + list(shared.wxT))
                    if w is not None])
         w_refs = rest[:n_w]
         (_defaults, out_hbm, q_hbm, qres_hbm, scal_out,
-         rays_v, out_v, res_v, stage_v, bias_v, q_frame_s, state,
-         sem_in, sem_out, sem_bias, sem_q, sem_res) = rest[n_w:]
+         rays_v2, out_v, res_v, stage_v, bias_v, q_frame_s, state,
+         sem_in0, sem_in1, sem_out, sem_bias, sem_q, sem_res) = rest[n_w:]
 
         f32 = jnp.float32
         state[S_CUR] = 0
@@ -182,109 +182,150 @@ def _make_queue_kernel(shared: SharedDecoder, march: MarchConfig,
             def _full_flush():
                 flush()
 
-        def make_process(src_hbm, to_out: bool, kmax: int):
-            """Chunk processor for one generation (static src/dst/cap)."""
+        def fetch(src_hbm, slot, ci):
+            """Async copy descriptor for chunk ci into ray slot `slot`
+            (static slot -> its own semaphore, so two fetches can be in
+            flight and waits are precise)."""
+            return pltpu.make_async_copy(
+                src_hbm.at[:, pl.ds(ci * B, B)],
+                rays_v2.at[slot],
+                sem_in0 if slot == 0 else sem_in1,
+            )
 
-            def process(ci):
-                frame = frame_of_chunk[ci] if to_out else q_frame_s[ci]
-                tile = frame // FRAME_TILE
+        def process_fetched(s, ci, to_out: bool, kmax):
+            """March the chunk already resident in ray slot s."""
+            frame = frame_of_chunk[ci] if to_out else q_frame_s[ci]
+            tile = frame // FRAME_TILE
 
-                @pl.when(tile != state[S_TILE])
-                def _fetch_tile():
-                    cp = pltpu.make_async_copy(
-                        bias_hbm.at[:, pl.ds(tile * FRAME_TILE, FRAME_TILE)],
-                        bias_v, sem_bias,
-                    )
-                    cp.start()
-                    cp.wait()
-                    state[S_TILE] = tile
-
-                cin = pltpu.make_async_copy(
-                    src_hbm.at[:, pl.ds(ci * B, B)], rays_v, sem_in
+            @pl.when(tile != state[S_TILE])
+            def _fetch_tile():
+                cp = pltpu.make_async_copy(
+                    bias_hbm.at[:, pl.ds(tile * FRAME_TILE, FRAME_TILE)],
+                    bias_v, sem_bias,
                 )
-                cin.start()
-                cin.wait()
+                cp.start()
+                cp.wait()
+                state[S_TILE] = tile
 
-                rays = rays_v[:, :]
-                o = rays[R_O:R_O + 3, :]
-                v = rays[R_V:R_V + 3, :]
-                near = rays[R_NEAR:R_NEAR + 1, :]
-                far = rays[R_FAR:R_FAR + 1, :]
+            rays = rays_v2[s]
+            o = rays[R_O:R_O + 3, :]
+            v = rays[R_V:R_V + 3, :]
+            near = rays[R_NEAR:R_NEAR + 1, :]
+            far = rays[R_FAR:R_FAR + 1, :]
 
-                biases = _select_bank_biases(bias_v, offsets,
-                                             frame % FRAME_TILE)
-                mlp = lambda p8: mlp_apply(kinds, w_refs, biases,
-                                           shared.final_tanh, p8)
-                carry0 = make_carry(
-                    rays[R_D:R_D + 1, :], rays[R_ACT:R_ACT + 1, :],
-                    hit=rays[R_HIT:R_HIT + 1, :],
-                    d_lo=rays[R_DLO:R_DLO + 1, :],
-                    f_lo=rays[R_FLO:R_FLO + 1, :],
-                    d_hi=rays[R_DHI:R_DHI + 1, :],
-                    f_hi=rays[R_FHI:R_FHI + 1, :],
-                    min_sdf=rays[R_MSDF:R_MSDF + 1, :],
-                    d_at_min=rays[R_DAM:R_DAM + 1, :],
-                    last_f=rays[R_LASTF:R_LASTF + 1, :],
-                    steps=rays[R_STEPS:R_STEPS + 1, :],
+            biases = _select_bank_biases(bias_v, offsets,
+                                         frame % FRAME_TILE)
+            mlp = lambda p8: mlp_apply(kinds, w_refs, biases,
+                                       shared.final_tanh, p8)
+            carry0 = make_carry(
+                rays[R_D:R_D + 1, :], rays[R_ACT:R_ACT + 1, :],
+                hit=rays[R_HIT:R_HIT + 1, :],
+                d_lo=rays[R_DLO:R_DLO + 1, :],
+                f_lo=rays[R_FLO:R_FLO + 1, :],
+                d_hi=rays[R_DHI:R_DHI + 1, :],
+                f_hi=rays[R_FHI:R_FHI + 1, :],
+                min_sdf=rays[R_MSDF:R_MSDF + 1, :],
+                d_at_min=rays[R_DAM:R_DAM + 1, :],
+                last_f=rays[R_LASTF:R_LASTF + 1, :],
+                steps=rays[R_STEPS:R_STEPS + 1, :],
+            )
+            outc = march_loop(mlp, o, v, near, far, march, max_steps,
+                              True, carry0, kmax=kmax)
+            rows8 = rows_from_carry(outc)
+            act_end = outc[1]
+
+            if to_out:
+                out_v[:, :] = rows8
+                cout = pltpu.make_async_copy(
+                    out_v, out_hbm.at[:, pl.ds(ci * B, B)], sem_out
                 )
-                outc = march_loop(mlp, o, v, near, far, march, max_steps,
-                                  True, carry0, kmax=kmax)
-                rows8 = rows_from_carry(outc)
-                act_end = outc[1]
+                cout.start()
+                cout.wait()
+            else:
+                res_v[0:8, :] = rows8
+                res_v[8:9, :] = rays[R_PIX:R_PIX + 1, :]
+                res_v[9:10, :] = 1.0 - act_end
+                cres = pltpu.make_async_copy(
+                    res_v, qres_hbm.at[:, pl.ds(ci * B, B)], sem_res
+                )
+                cres.start()
+                cres.wait()
 
-                if to_out:
-                    out_v[:, :] = rows8
-                    cout = pltpu.make_async_copy(
-                        out_v, out_hbm.at[:, pl.ds(ci * B, B)], sem_out
-                    )
-                    cout.start()
-                    cout.wait()
-                else:
-                    res_v[0:8, :] = rows8
-                    res_v[8:9, :] = rays[R_PIX:R_PIX + 1, :]
-                    res_v[9:10, :] = 1.0 - act_end
-                    cres = pltpu.make_async_copy(
-                        res_v, qres_hbm.at[:, pl.ds(ci * B, B)], sem_res
-                    )
-                    cres.start()
-                    cres.wait()
+            @pl.when(jnp.sum(act_end) > 0.5)
+            def _requeue():
+                append(rays, outc, act_end, frame)
 
-                @pl.when(jnp.sum(act_end) > 0.5)
-                def _requeue():
-                    append(rays, outc, act_end, frame)
+        def walk(src_hbm, to_out: bool, idx_of, start, end, kmax):
+            """Double-buffered chunk walk over [start, end): chunk k+1's
+            HBM->VMEM copy is in flight while chunk k marches (the
+            synchronous fetch-wait serialized ~5-10 us of DMA latency
+            into every chunk visit)."""
 
-            return process
+            @pl.when(start < end)
+            def _first():
+                @pl.when(jax.lax.rem(start, 2) == 0)
+                def _f0():
+                    fetch(src_hbm, 0, idx_of(start)).start()
+
+                @pl.when(jax.lax.rem(start, 2) == 1)
+                def _f1():
+                    fetch(src_hbm, 1, idx_of(start)).start()
+
+            def body(k):
+                s = jax.lax.rem(k, 2)
+                ci = idx_of(k)
+
+                @pl.when(k + 1 < end)
+                def _prefetch():
+                    nci = idx_of(k + 1)
+
+                    @pl.when(s == 0)
+                    def _p1():
+                        fetch(src_hbm, 1, nci).start()
+
+                    @pl.when(s == 1)
+                    def _p0():
+                        fetch(src_hbm, 0, nci).start()
+
+                @pl.when(s == 0)
+                def _w0():
+                    fetch(src_hbm, 0, ci).wait()
+
+                @pl.when(s == 1)
+                def _w1():
+                    fetch(src_hbm, 1, ci).wait()
+
+                process_fetched(s, ci, to_out, kmax)
+                return k + 1
+
+            jax.lax.while_loop(lambda k: k < end, body, start)
 
         # ---- generation 0: original live chunks, pixel order ----
-        proc0 = make_process(rays_hbm, True, gen_caps[0])
-
-        def body0(k):
-            proc0(live_idx[k])
-            return k + 1
-
-        jax.lax.while_loop(lambda k: k < n_live[0], body0, 0)
+        walk(rays_hbm, True, lambda k: live_idx[k], 0, n_live[0],
+             caps_smem[0])
 
         @pl.when(state[S_CNT] > 0)
         def _tail0():
             flush()
 
-        # ---- generations 1..G over queue ranges ----
-        start = 0
-        for cap in gen_caps[1:]:
+        # ---- queue generations: ONE generic walker, runtime caps ----
+        def outer_cond(c):
+            g, start = c
+            return start < state[S_CUR]
+
+        def outer_body(c):
+            g, start = c
             end_g = state[S_CUR]       # chunk-unit snapshot before the walk
-            procg = make_process(q_hbm, False, cap)
-
-            def bodyg(k, _p=procg):
-                _p(k)
-                return k + 1
-
-            jax.lax.while_loop(lambda k, _e=end_g: k < _e, bodyg, start)
+            cap = caps_smem[jnp.minimum(g, n_caps - 1)]
+            walk(q_hbm, False, lambda k: k, start, end_g, cap)
 
             @pl.when(state[S_CNT] > 0)
             def _tailg():
                 flush()
 
-            start = end_g
+            return (g + 1, end_g)
+
+        jax.lax.while_loop(outer_cond, outer_body, (1, 0))
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         ones = jnp.ones((1, 128), f32)
@@ -382,8 +423,9 @@ def queue_march(
         if wx is not None:
             weights.append(wx)
 
-    caps = tuple(int(c) for c in gen_caps) + (march.max_steps,)
-    kernel = _make_queue_kernel(shared, march, caps, B, qcap_rays, cpf)
+    caps = tuple(max(int(c), 1) for c in gen_caps) + (march.max_steps,)
+    caps_arr = jnp.asarray(caps, jnp.int32)
+    kernel = _make_queue_kernel(shared, march, len(caps), B, qcap_rays, cpf)
 
     out8, q_buf, qres, scal = pl.pallas_call(
         kernel,
@@ -392,6 +434,7 @@ def queue_march(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # live_idx
             pl.BlockSpec(memory_space=pltpu.SMEM),   # n_live
             pl.BlockSpec(memory_space=pltpu.SMEM),   # frame_of_chunk
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # generation caps
             pl.BlockSpec(memory_space=pl.ANY),       # rays
             pl.BlockSpec(memory_space=pl.ANY),       # bias bank
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tri
@@ -410,23 +453,25 @@ def queue_march(
             jax.ShapeDtypeStruct((N_RES, qcap_rays), f32),
             jax.ShapeDtypeStruct((1, 128), f32),
         ),
-        input_output_aliases={6 + len(weights): 0},
+        input_output_aliases={7 + len(weights): 0},
         scratch_shapes=[
-            pltpu.VMEM((N_ROWS, B), f32),            # rays_v
+            pltpu.VMEM((2, N_ROWS, B), f32),         # rays (double-buffered)
             pltpu.VMEM((8, B), f32),                 # out_v
             pltpu.VMEM((N_RES, B), f32),             # res_v
             pltpu.VMEM((N_ROWS, 2 * B), f32),        # stage_v
             pltpu.VMEM((shared.total, FRAME_TILE), f32),
             pltpu.SMEM((qcap_chunks,), jnp.int32),   # q_frame
             pltpu.SMEM((8,), jnp.int32),             # state
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),             # sem_in0
+            pltpu.SemaphoreType.DMA(()),             # sem_in1
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(live_idx, n_live, frame_of_chunk, rays, bank, tri, *weights, defaults)
+    )(live_idx, n_live, frame_of_chunk, caps_arr, rays, bank, tri,
+      *weights, defaults)
 
     n_q = scal[0, 0].astype(jnp.int32) * B   # kernel cursor is in chunks
     overflow = scal[0, 1] > 0.5

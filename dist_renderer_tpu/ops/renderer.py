@@ -306,16 +306,45 @@ def render_rays(
                 take(origins), take(dirs), take(d0), take(anchor),
                 take(trace.hit),
             )
-            depth = jnp.full((n,), cfg.background_depth, d_b.dtype)
-            depth = depth.at[idx_b].set(d_b)
-            # margins for the remainder: one cheap bf16 pass (misses feed
-            # loss margins, not the 1e-3 depth-parity anchor); pruned by
-            # XLA when min_sdf is unused downstream (depth-only losses)
+            # margins for the remainder: the march ALREADY evaluated the
+            # SDF at each ray's min-SDF anchor — reuse that value as the
+            # primal (free; the previous full-width bf16 re-eval cost
+            # 9.3 ms/frame at 512^2) and attach the decoder vjp at the
+            # anchor lazily via custom_vjp, so silhouette losses get the
+            # exact same gradients and depth-only losses prune it all
             cheap_fn = getattr(sdf_fn, "cheap", sdf_fn)
+
+            @jax.custom_vjp
+            def lazy_margin(z, p, ms):
+                return ms
+
+            def _lm_fwd(z, p, ms):
+                return ms, (z, p)
+
+            def _lm_bwd(res, ct):
+                z, p = res
+                _, vjp = jax.vjp(cheap_fn, z, p)
+                gz, gp = vjp(ct)
+                return gz, gp, jnp.zeros_like(ct)
+
+            lazy_margin.defvjp(_lm_fwd, _lm_bwd)
             p_anchor = origins + anchor[:, None] * dirs
-            min_sdf = cheap_fn(latent, p_anchor).at[idx_b].set(s_b)
-            normal = jnp.zeros((n, 3), n_b.dtype).at[idx_b].set(n_b)
-            return depth, min_sdf, normal
+            margins = lazy_margin(latent, p_anchor, _sg(trace.min_sdf))
+            # min_sdf stays a SEPARATE output: fusing it into the shared
+            # scatter forced the custom_vjp to run with zero cotangents
+            # under depth-only losses (measured fwd+bwd 43 -> 72 ms);
+            # kept apart, XLA prunes the whole margin path when unused
+            min_sdf = margins.at[idx_b].set(s_b)
+
+            # one fused scatter for depth + normals (separate .at[].set
+            # scatters measured ~2x slower)
+            base = jnp.concatenate([
+                jnp.full((1, n), cfg.background_depth, d_b.dtype),
+                jnp.zeros((3, n), n_b.dtype),
+            ])
+            vals = jnp.concatenate([d_b[None], n_b.T], axis=0)
+            outp = base.at[:, idx_b].set(vals)
+            return outp[0], min_sdf, outp[1:4].T
 
         def full_branch():
             return compose(origins, dirs, d0, anchor, trace.hit)
@@ -333,6 +362,40 @@ def render_rays(
     )
 
 
+def warm_from_trace(trace: TraceResult) -> Tuple[jax.Array, ...]:
+    """Extract the warm-start state (depth, hitish, anchor, margin) the
+    next optimizer iteration's render can classify from — configs #2-#4
+    re-render the same camera while latent/pose move slightly, so the
+    previous trace replaces the coarse pyramid (ops/c2f.py::warm_maps).
+    unresolved counts as hit so step-capped rays are never wrongly
+    skipped next iteration."""
+    return (
+        _sg(trace.depth),
+        _sg(trace.hit | trace.unresolved),
+        _sg(trace.depth_at_min),
+        _sg(trace.min_sdf),
+    )
+
+
+def render_with_warm(sdf_fn, latent, camera, cfg, march_fn_factory,
+                     carry, refresh: int):
+    """One warm-started render inside an optimization loop.
+
+    carry = (step, warm_state) threaded through utils.optim.fit's
+    carry support; every `refresh` steps the full coarse pyramid runs
+    (warm_maps' dilation bounds per-STEP silhouette motion, not drift).
+    Returns (RenderOutput, next_carry). Differentiable w.r.t. latent and
+    camera exactly like render()."""
+    k, wstate = carry
+    out = jax.lax.cond(
+        (k % refresh) == 0,
+        lambda w: render(sdf_fn, latent, camera, cfg, march_fn_factory),
+        lambda w: render(sdf_fn, latent, camera, cfg, march_fn_factory, w),
+        wstate,
+    )
+    return out, (k + 1, warm_from_trace(out.trace))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def render(
     sdf_fn: Callable[[jax.Array, jax.Array], jax.Array],
@@ -340,6 +403,7 @@ def render(
     camera: Camera,
     cfg: RenderConfig = RenderConfig(),
     march_fn_factory: Optional[Callable] = None,
+    warm: Optional[Tuple[jax.Array, ...]] = None,
 ) -> RenderOutput:
     """Full-frame render: camera -> [H, W] maps.
 
@@ -347,7 +411,12 @@ def render(
     (depth + normal + silhouette in one pass).
 
     march_fn_factory: optional (latent,) -> point_fn builder for the hot
-    loop (latent-folded / Pallas decoder)."""
+    loop (latent-folded / Pallas decoder).
+
+    warm: optional warm_from_trace(previous out.trace) — inside an
+    optimization loop, seeds + classification come from the previous
+    iteration instead of the coarse pyramid (only on the Pallas
+    trace_frame path; ignored otherwise)."""
     origins, dirs = pixel_rays(camera, cfg.img_h, cfg.img_w)
     march_fn = None
     if march_fn_factory is not None:
@@ -360,7 +429,8 @@ def render(
         trace = jax.tree_util.tree_map(
             _sg,
             march_fn.trace_frame(
-                _sg(origins), _sg(dirs), cfg.march, (cfg.img_h, cfg.img_w)
+                _sg(origins), _sg(dirs), cfg.march, (cfg.img_h, cfg.img_w),
+                warm=warm,
             ),
         )
         out = render_rays(sdf_fn, latent, origins, dirs, cfg,
@@ -419,11 +489,16 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
 
             mf = PallasMarchFn(fold_latent(params, z, dcfg), dcfg, point_fn)
 
-            def trace_frame(origins, dirs, march, img_hw, interpret=False):
+            def trace_frame(origins, dirs, march, img_hw, interpret=False,
+                            warm=None):
                 """Single-frame plan + march through the batched c2f
                 pipeline (F=1): multi-round re-binning + live-prefix
                 launches beat the split c2f_plan/trace path. Assumes the
                 pinhole shared-origin layout render() produces.
+
+                warm: optional (depth, hitish, anchor, margin) flat [N]
+                arrays from the previous optimizer iteration's trace
+                (warm_from_trace) — skips the coarse pyramid entirely.
 
                 Inputs are stop-gradient'ed here: the march is
                 non-differentiable by design, and the persistent kernel's
@@ -431,6 +506,8 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
                 reaching it is an error, not just waste."""
                 origins = _sg(origins)
                 dirs = _sg(dirs)
+                if warm is not None:
+                    warm = tuple(_sg(a)[None] for a in warm)
                 d, hit, msdf, dam, steps, lsdf, unres = render_batched_c2f(
                     params, dcfg, z[None], origins[None], dirs[None],
                     img_hw, march,
@@ -440,6 +517,7 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
                     shared_origin=True, return_anchor=True,
                     return_steps=True, return_last=True,
                     scheduler=march.scheduler, queue_caps=march.queue_caps,
+                    warm=warm,
                     interpret=interpret,
                 )
                 from dist_renderer_tpu.ops.tracer import (
@@ -551,10 +629,10 @@ class SDFRenderer:
     def _camera(self, R, T) -> Camera:
         return Camera(K=self.K, R=jnp.asarray(R, jnp.float32), T=jnp.asarray(T, jnp.float32))
 
-    def render(self, latent, R, T) -> RenderOutput:
+    def render(self, latent, R, T, warm=None) -> RenderOutput:
         return render(
             self.sdf_fn, latent, self._camera(R, T), self.cfg,
-            self.march_fn_factory,
+            self.march_fn_factory, warm,
         )
 
     def render_depth(self, latent, R, T) -> jax.Array:

@@ -55,6 +55,11 @@ def main(argv=None):
                     "a hidden GT exists, report chamfer vs it — the "
                     "reference's post-fit evaluation (SURVEY.md §3.3)")
     ap.add_argument("--mesh-res", type=int, default=128)
+    ap.add_argument("--warm", type=int, default=0,
+                    help="warm-start refresh period N: reuse each "
+                    "iteration's trace as the next one's seeds/"
+                    "classification (skips the coarse pyramid), full "
+                    "refresh every N steps. Pallas render path only.")
     args = ap.parse_args(argv)
 
     params, gt_latent, dcfg = load_task_decoder(args)
@@ -97,8 +102,7 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     logger = MetricsLogger(os.path.join(args.out, "metrics.csv"))
 
-    def loss_fn(z):
-        out = render(sdf_fn, z, cam, cfg, factory)
+    def _obj(z, out):
         ld = L.depth_loss(out.depth, obs_depth, obs_valid, out.mask)
         ls = L.silhouette_loss(
             jnp.where(col_mask[None, :], out.min_sdf, 0.0), obs_mask
@@ -107,7 +111,30 @@ def main(argv=None):
         total = args.w_depth * ld + args.w_sil * ls + args.w_reg * lr_
         return total, {"depth": ld, "sil": ls, "reg": lr_}
 
+    def loss_fn(z):
+        return _obj(z, render(sdf_fn, z, cam, cfg, factory))
+
+    def loss_fn_warm(z, carry):
+        # iteration k's trace seeds iteration k+1 (SURVEY.md §3.3: the
+        # same camera re-renders hundreds of times; the coarse pyramid
+        # is skipped between refreshes)
+        from dist_renderer_tpu.ops.renderer import render_with_warm
+
+        out, carry = render_with_warm(
+            sdf_fn, z, cam, cfg, factory, carry, args.warm
+        )
+        total, aux = _obj(z, out)
+        aux["carry"] = carry
+        return total, aux
+
     z0 = jnp.zeros_like(gt_latent)  # cold start (mean latent)
+    warm_carry = None
+    use_warm = bool(args.warm) and cfg.use_pallas
+    if use_warm:
+        from dist_renderer_tpu.ops.renderer import warm_from_trace
+
+        out0 = render(sdf_fn, z0, cam, cfg, factory)
+        warm_carry = (jnp.int32(1), warm_from_trace(out0.trace))
 
     if args.vis_every:
         def cb(step, z, loss):
@@ -119,15 +146,18 @@ def main(argv=None):
                 )
 
         res = fit(
-            loss_fn, z0,
+            loss_fn_warm if use_warm else loss_fn, z0,
             OptimConfig(lr=args.lr, steps=args.steps),
             checkpoint_dir=args.checkpoint_dir,
             log_every=max(args.steps // 10, 1),
             callback=cb,
+            carry_init=warm_carry,
         )
     else:
         # no per-step host work -> whole loop runs on device (lax.scan)
-        res = fit(loss_fn, z0, OptimConfig(lr=args.lr, steps=args.steps))
+        res = fit(loss_fn_warm if use_warm else loss_fn, z0,
+                  OptimConfig(lr=args.lr, steps=args.steps),
+                  carry_init=warm_carry)
         for step, l in enumerate(np.asarray(res.loss_history)):
             logger.log(step, loss=float(l))
 

@@ -44,6 +44,11 @@ def main(argv=None):
     # pose needs a hotter schedule than latent fitting (measured on TPU:
     # lr 1e-2/120 steps leaves 8deg of a 10deg perturbation; lr 3e-2/400
     # steps recovers to 0.000 deg)
+    ap.add_argument("--warm", type=int, default=0,
+                    help="warm-start refresh period N: reuse each "
+                    "iteration's trace as the next one's seeds/"
+                    "classification, full refresh every N steps "
+                    "(Pallas render path only)")
     ap.set_defaults(lr=3e-2, steps=300)
     args = ap.parse_args(argv)
 
@@ -74,16 +79,56 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     logger = MetricsLogger(os.path.join(args.out, "metrics.csv"))
 
-    def loss_fn(pose):
-        cam = camera_from_pose(pose, cam_gt.K, args.param)
-        oo, vv = pixel_rays(cam, args.img, args.img)
-        out = render_rays(sdf_fn, latent, oo, vv, cfg, march_fn)
+    def _obj(out):
         ld = L.depth_loss(out.depth, obs_depth, obs_mask, out.mask)
         ls = L.silhouette_loss(out.min_sdf, obs_mask)
         total = args.w_depth * ld + args.w_sil * ls
         return total, {"depth": ld, "sil": ls}
 
-    res = fit(loss_fn, pose0, OptimConfig(lr=args.lr, steps=args.steps))
+    def loss_fn(pose):
+        cam = camera_from_pose(pose, cam_gt.K, args.param)
+        oo, vv = pixel_rays(cam, args.img, args.img)
+        out = render_rays(sdf_fn, latent, oo, vv, cfg, march_fn)
+        return _obj(out)
+
+    warm_carry = None
+    use_warm = bool(args.warm) and cfg.use_pallas
+    if use_warm:
+        # warm path rides the full render() (Pallas trace_frame) so the
+        # previous iteration's trace replaces the coarse pyramid;
+        # gradients reach the pose through ray origins/dirs in the
+        # differentiable recompute exactly as in render_rays
+        from dist_renderer_tpu.ops.renderer import (
+            make_march_factory, render as render_full, render_with_warm,
+            warm_from_trace,
+        )
+
+        factory = make_march_factory(params, dcfg, cfg)
+
+        def loss_fn_warm(pose, carry):
+            cam = camera_from_pose(pose, cam_gt.K, args.param)
+            out, carry = render_with_warm(
+                sdf_fn, latent, cam, cfg, factory, carry, args.warm
+            )
+            # render() returns [H, W] maps; the observation is flat [N]
+            out = out._replace(
+                depth=out.depth.reshape(-1),
+                mask=out.mask.reshape(-1),
+                min_sdf=out.min_sdf.reshape(-1),
+            )
+            total, aux = _obj(out)
+            aux["carry"] = carry
+            return total, aux
+
+        out0 = render_full(
+            sdf_fn, latent,
+            camera_from_pose(pose0, cam_gt.K, args.param), cfg, factory,
+        )
+        warm_carry = (jnp.int32(1), warm_from_trace(out0.trace))
+
+    res = fit(loss_fn_warm if use_warm else loss_fn, pose0,
+              OptimConfig(lr=args.lr, steps=args.steps),
+              carry_init=warm_carry)
     for s, l in enumerate(np.asarray(res.loss_history)):
         logger.log(s, loss=float(l))
 

@@ -37,12 +37,13 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
 
 
 def fit(
-    loss_fn: Callable[[Any], Tuple[jax.Array, Dict[str, jax.Array]]],
+    loss_fn: Callable[..., Tuple[jax.Array, Dict[str, jax.Array]]],
     variables: Any,
     cfg: OptimConfig = OptimConfig(),
     checkpoint_dir: Optional[str] = None,
     log_every: int = 0,
     callback: Optional[Callable[[int, Any, float], None]] = None,
+    carry_init: Any = None,
 ) -> FitResult:
     """Minimize ``loss_fn(variables) -> (loss, aux)`` with Adam.
 
@@ -50,7 +51,11 @@ def fit(
     the march inside loss_fn contributes no backward tape (SURVEY.md §3.2).
     With ``checkpoint_dir`` set, saves (variables, opt_state, step) every
     ``cfg.checkpoint_every`` steps and resumes from the latest checkpoint.
-    """
+
+    carry_init: optional non-differentiated loop state. When given,
+    ``loss_fn(variables, carry) -> (loss, aux)`` and aux must contain
+    ``"carry"``: the next carry, threaded through the loop (e.g. the
+    warm-start render state — renderer.warm_from_trace)."""
     tx = make_optimizer(cfg)
     opt_state = tx.init(variables)
     start_step = 0
@@ -62,12 +67,25 @@ def fit(
             checkpoint_dir, (variables, opt_state)
         )
 
+    def value_grad(v, carry):
+        if carry_init is None:
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(v)
+        else:
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(v, carry)
+            aux = dict(aux)
+            carry = aux.pop("carry")
+        return loss, aux, grads, carry
+
     @jax.jit
-    def step_fn(variables, opt_state):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+    def step_fn(variables, opt_state, carry):
+        loss, aux, grads, carry = value_grad(variables, carry)
         updates, opt_state = tx.update(grads, opt_state, variables)
         variables = optax.apply_updates(variables, updates)
-        return variables, opt_state, loss, aux
+        return variables, opt_state, loss, aux, carry
 
     # Fast path: no per-step host work requested => run the WHOLE loop in
     # one lax.scan on device. Over the tunneled TPU a Python step loop
@@ -76,23 +94,23 @@ def fit(
         checkpoint_dir and cfg.checkpoint_every
     ):
         @jax.jit
-        def scan_all(variables, opt_state):
-            def body(carry, _):
-                v, o = carry
-                (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(v)
+        def scan_all(variables, opt_state, loop_carry):
+            def body(c, _):
+                v, o, lc = c
+                loss, aux, grads, lc = value_grad(v, lc)
                 updates, o = tx.update(grads, o, v)
                 v = optax.apply_updates(v, updates)
-                return (v, o), (loss, aux)
+                return (v, o, lc), (loss, aux)
 
-            (v, o), (losses, auxs) = jax.lax.scan(
-                body, (variables, opt_state), None,
+            (v, o, _), (losses, auxs) = jax.lax.scan(
+                body, (variables, opt_state, loop_carry), None,
                 length=cfg.steps - start_step,
             )
             return v, o, losses, auxs
 
-        variables, opt_state, losses_arr, auxs = scan_all(variables, opt_state)
+        variables, opt_state, losses_arr, auxs = scan_all(
+            variables, opt_state, carry_init
+        )
         aux = {k: v[-1] for k, v in auxs.items()}
         return FitResult(
             variables=variables, loss_history=losses_arr,
@@ -100,9 +118,12 @@ def fit(
         )
 
     losses = []
+    loop_carry = carry_init
     aux: Dict[str, jax.Array] = {}
     for step in range(start_step, cfg.steps):
-        variables, opt_state, loss, aux = step_fn(variables, opt_state)
+        variables, opt_state, loss, aux, loop_carry = step_fn(
+            variables, opt_state, loop_carry
+        )
         losses.append(loss)
         if log_every and (step % log_every == 0 or step == cfg.steps - 1):
             print(f"[fit] step {step:5d}  loss {float(loss):.6f}")
