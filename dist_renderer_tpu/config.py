@@ -114,6 +114,13 @@ class GradConfig:
                               # the hit count exceeds the bucket, so results
                               # never depend on the hit fraction.
     compact_min: int = 16384  # smallest ray count where compaction pays
+    fused_dd: bool = False    # IFT denominator from the fused value+tangent
+                              # eval (decoder_apply_with_dd) instead of a
+                              # separate jvp. MEASURED NEGATIVE on v5e in
+                              # context (fwd 34.8 -> 39.4 ms) despite being
+                              # 2 ms faster in isolation — XLA schedules the
+                              # separate jvp better inside the full graph;
+                              # kept as an option for other deployments.
 
 
 @dataclasses.dataclass(frozen=True)

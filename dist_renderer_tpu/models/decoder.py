@@ -141,6 +141,81 @@ def decoder_apply(
     return sdf.reshape(pts_shape)
 
 
+def decoder_apply_with_dd(
+    params: Params,
+    latent: jax.Array,
+    points: jax.Array,
+    dirs: jax.Array,
+    cfg: DecoderConfig = DecoderConfig(),
+) -> Tuple[jax.Array, jax.Array]:
+    """One fused pass computing (sdf, directional derivative along dirs).
+
+    The IFT denominator <grad_x f, v> previously came from a separate
+    jax.jvp over the folded decoder — a full primal+tangent evaluation
+    (measured 8.0 ms per 512^2 bucket) DUPLICATING the primal work the
+    precise value eval had just done. Here the tangent chain rides the
+    value forward pass: one extra bf16 matmul per layer, gated by the
+    shared pre-activations (+~1.7 ms instead of +8). Value precision is
+    split_x exactly like make_precise_sdf; the tangent is bf16 (the
+    denominator is clamped and stop-gradient'ed by the renderer, so ~1e-2
+    relative error is harmless)."""
+    pts_shape = points.shape[:-1]
+    x = points.reshape(-1, 3)
+    v = dirs.reshape(-1, 3)
+    n = x.shape[0]
+    if latent.ndim == 1:
+        z = jnp.broadcast_to(latent[None, :], (n, latent.shape[-1]))
+    else:
+        z = jnp.broadcast_to(
+            latent.reshape(-1, latent.shape[-1]), (n, latent.shape[-1])
+        )
+    inp = jnp.concatenate([z, x], axis=-1).astype(jnp.float32)
+    # d(inp)/dd along the ray: latent rows are constant, xyz rows move by v
+    t_inp = jnp.concatenate(
+        [jnp.zeros((n, latent.shape[-1]), jnp.float32), v.astype(jnp.float32)],
+        axis=-1,
+    )
+
+    def tmul(t, w):
+        return jax.lax.dot_general(
+            t.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    h = inp
+    t = t_inp
+    n_layers = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        if i in cfg.latent_in:
+            h = jnp.concatenate([h, inp], axis=-1)
+            t = jnp.concatenate([t, t_inp], axis=-1)
+        elif cfg.xyz_in_all and 0 < i < n_layers - 1:
+            h = jnp.concatenate([h, x], axis=-1)
+            t = jnp.concatenate([t, v.astype(jnp.float32)], axis=-1)
+        takes_input = i == 0 or i in cfg.latent_in
+        if takes_input:
+            pre = _matmul_split(h, layer["w"], layer["b"])
+        else:
+            pre = _matmul(h, layer["w"], layer["b"], jnp.bfloat16, None)
+        t = tmul(t, layer["w"])
+        if i == n_layers - 1:
+            if cfg.use_tanh:
+                t = t * (1.0 - jnp.tanh(pre) ** 2)
+                pre = jnp.tanh(pre)
+            h = pre
+        else:
+            gate = pre > 0
+            h = jnp.where(gate, pre, 0.0)
+            t = jnp.where(gate, t, 0.0)
+    s = h[..., 0]
+    dd = t[..., 0]
+    if cfg.final_tanh:
+        dd = dd * (1.0 - jnp.tanh(s) ** 2)
+        s = jnp.tanh(s)
+    return s.reshape(pts_shape), dd.reshape(pts_shape)
+
+
 def make_precise_sdf(params: Params, cfg: DecoderConfig = DecoderConfig()):
     """(latent, points) -> sdf with HIGH-precision VALUE and
     default-precision GRADIENTS.
@@ -184,6 +259,29 @@ def make_precise_sdf(params: Params, cfg: DecoderConfig = DecoderConfig()):
     f.cheap = lambda latent, points: decoder_apply(
         params, latent, points, cfg, jnp.bfloat16
     )
+
+    # fused (value, directional-derivative) sibling for the IFT path:
+    # same precise value + its custom_vjp; the dd output carries NO
+    # gradient (the renderer stop-gradients the denominator anyway)
+    @jax.custom_vjp
+    def f_dd(latent, points, dirs):
+        return decoder_apply_with_dd(params, latent, points, dirs, cfg)
+
+    def fdd_fwd(latent, points, dirs):
+        return f_dd(latent, points, dirs), (latent, points, dirs)
+
+    def fdd_bwd(res, ct):
+        latent, points, dirs = res
+        ct_s, _ct_dd = ct
+        _, vjp = jax.vjp(
+            lambda z, p: decoder_apply(params, z, p, cfg, jnp.bfloat16),
+            latent, points,
+        )
+        gz, gp = vjp(ct_s)
+        return gz, gp, jnp.zeros_like(dirs)
+
+    f_dd.defvjp(fdd_fwd, fdd_bwd)
+    f.with_dd = f_dd
     return f
 
 

@@ -233,14 +233,26 @@ def render_rays(
         SURVEY.md §3.2: "the silhouette's min-SDF sample is recomputed
         differentiably at its recorded point")."""
         p_surf = o + anchor[:, None] * v           # o/v live (pose grads)
-        s = sdf_fn(latent, p_surf)                 # precise VALUE (depth anchor)
+        if (cfg.grad.mode == "ift" and cfg.grad.fused_dd
+                and hasattr(sdf_fn, "with_dd")):
+            # fused precise VALUE + directional derivative: the tangent
+            # chain rides the value forward pass (one extra bf16 matmul
+            # per layer, relu-gated by the shared pre-activations)
+            # instead of a separate jvp that re-runs the primal
+            # (measured 8.0 -> ~1.7 ms per 512^2 bucket)
+            s, dd = sdf_fn.with_dd(latent, p_surf, _sg(v))
+            dd = _sg(dd)
+        else:
+            s = sdf_fn(latent, p_surf)             # precise VALUE (depth anchor)
+            dd = None
         if cfg.grad.mode == "ift":
             # f(z, o + d(z,o,v) v) == 0  =>  dd = -df / (grad_x f . v).
             # The denominator only needs the DIRECTIONAL derivative along
-            # v — one forward-mode jvp (fwd + tangent pass), cheaper than
-            # the full-gradient vjp and, decoupled from it, XLA prunes the
-            # normals vjp below whenever the loss ignores normals.
-            _, dd = jax.jvp(g_fn, (_sg(p_surf),), (_sg(v),))
+            # v — forward-mode (fwd + tangent), cheaper than the full
+            # vjp and, decoupled from it, XLA prunes the normals vjp
+            # below whenever the loss ignores normals.
+            if dd is None:
+                _, dd = jax.jvp(g_fn, (_sg(p_surf),), (_sg(v),))
             denom = jnp.minimum(dd, -cfg.grad.ift_min_denom)  # front-facing: < 0
             # extra Newton refinements (stop-grad, frozen denominator) let a
             # loose-eps bf16 march still land on the fp32 surface; the LAST

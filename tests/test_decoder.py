@@ -130,3 +130,41 @@ def test_converter_golden_parity_vs_torch():
         params, jnp.asarray(z.numpy()), jnp.asarray(pts.numpy()), cfg
     )
     np.testing.assert_allclose(np.asarray(got), golden, atol=1e-5)
+
+
+def test_with_dd_matches_value_and_jvp():
+    """decoder_apply_with_dd: value identical to the split_x precise eval;
+    directional derivative matches a jax.jvp reference to bf16 tolerance
+    (the IFT denominator is clamped + stop-gradient'ed downstream)."""
+    from dist_renderer_tpu.models.decoder import (
+        decoder_apply, decoder_apply_with_dd, make_precise_sdf,
+    )
+
+    cfg = DecoderConfig(latent_size=12, hidden_dims=(48,) * 4, latent_in=(2,))
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    z = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (cfg.latent_size,))
+    p = jax.random.uniform(jax.random.PRNGKey(2), (64, 3), minval=-1, maxval=1)
+    v = jax.random.normal(jax.random.PRNGKey(3), (64, 3))
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    s, dd = decoder_apply_with_dd(params, z, p, v, cfg)
+    s_ref = decoder_apply(params, z, p, cfg, precision="split_x")
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s_ref))
+
+    _, dd_ref = jax.jvp(
+        lambda q: decoder_apply(params, z, q, cfg), (p,), (v,)
+    )
+    # bf16 pre-activations can flip relu gates right at the boundary,
+    # jumping dd on isolated points — bound the BULK, not the max (the
+    # denominator is clamped + stop-gradient'ed downstream)
+    err = np.abs(np.asarray(dd) - np.asarray(dd_ref))
+    assert float(np.percentile(err, 90)) < 2e-2, (
+        f"dd p90 err {np.percentile(err, 90):.2e}"
+    )
+    assert float(np.mean(err < 5e-2)) > 0.95
+
+    # the value's gradient path (custom_vjp) must survive the fused form
+    f = make_precise_sdf(params, cfg)
+    g1 = jax.grad(lambda zz: jnp.sum(f.with_dd(zz, p, v)[0]))(z)
+    g2 = jax.grad(lambda zz: jnp.sum(f(zz, p)))(z)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
