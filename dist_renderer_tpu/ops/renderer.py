@@ -367,6 +367,29 @@ def render_rays(
     else:
         depth, min_sdf, normal = compose(origins, dirs, d0, anchor, trace.hit)
 
+    # Rays that never enter the bounding sphere: their margin VALUE is
+    # the geometric sphere distance the trace recorded (the decoder was
+    # never sampled there), but the GRADIENT keeps flowing through the
+    # decoder eval at the closest-approach anchor — during optimization
+    # a shape can transiently poke past the bounding sphere, and this
+    # pull-back force is what recovers it (losing it made a silhouette
+    # radius fit overshoot, tests/test_preprocess.py). The sg-trick
+    # (value from the trace, tangents from the eval) keeps the compacted
+    # and full-width branches agreeing on both value and gradient.
+    from dist_renderer_tpu.ops.camera import ray_sphere_entry
+
+    o_sg, v_sg = _sg(origins), _sg(dirs)
+    _, _, enters = ray_sphere_entry(o_sg, v_sg, cfg.march.sphere_radius, 0.0)
+    # computed locally — the tracers' min_sdf sentinel for non-entering
+    # rays varies by path (geo margin on the Pallas wrappers, +inf on the
+    # plain masked tracer)
+    t_c = jnp.maximum(-jnp.sum(o_sg * v_sg, axis=-1), 0.0)
+    geo = (
+        jnp.linalg.norm(o_sg + t_c[:, None] * v_sg, axis=-1)
+        - cfg.march.sphere_radius
+    )
+    min_sdf = jnp.where(enters, min_sdf, geo + min_sdf - _sg(min_sdf))
+
     p_out = origins + depth[:, None] * dirs
     return RenderOutput(
         depth=depth, mask=trace.hit, normal=normal, min_sdf=min_sdf,
