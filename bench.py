@@ -120,15 +120,21 @@ def main():
         for i in range(args.frames)
     ]
 
-    # warmup / compile
-    jax.block_until_ready(fwd(latents[0]))
+    # warmup / compile. The warmup must end with a device->host FETCH, not
+    # just block_until_ready: on this tunneled deployment, block_until_ready
+    # is a silent no-op in a process until the first real fetch has
+    # round-tripped (measured: a 5-dispatch timed region read 0.04 ms vs
+    # 280 ms real device time). One scalar fetch arms it for good.
+    _w = fwd(latents[0])
+    float(jnp.sum(_w[0]))
     t0 = time.perf_counter()
     for z in latents:
         out = fwd(z)
     jax.block_until_ready(out)
     dt_fwd = (time.perf_counter() - t0) / args.frames
 
-    jax.block_until_ready(fwdbwd(latents[0]))
+    _w2 = fwdbwd(latents[0])
+    float(jnp.sum(_w2[1]))
     t0 = time.perf_counter()
     for z in latents:
         out2 = fwdbwd(z)
@@ -163,7 +169,7 @@ def main():
                 jnp.broadcast_to(v, (F,) + v.shape[1:]),
                 (img, img), cfg.march,
                 shared_origin=True))  # pinhole: one origin per frame
-            jax.block_until_ready(fb(lat_b, ob, vb)[0])
+            float(jnp.sum(fb(lat_b, ob, vb)[0]))
             t0 = time.perf_counter()
             for _ in range(3):
                 d_b = fb(lat_b, ob, vb)[0]

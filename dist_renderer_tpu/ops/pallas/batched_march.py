@@ -768,6 +768,7 @@ def render_batched_c2f(
     return_last: bool = False,
     scheduler: str = "rounds",
     queue_caps: Tuple[int, ...] = (6, 16),
+    queue_dense_frac: float = 0.5,
     warm: Optional[Tuple[jax.Array, ...]] = None,
 ) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
@@ -866,7 +867,8 @@ def render_batched_c2f(
 
         d, hit, msdf, dam, lastf, steps, unres = queue_march(
             shared, bank, o_in, dirs, key, init_depth, march,
-            block=block, gen_caps=queue_caps, interpret=interpret,
+            block=block, gen_caps=queue_caps,
+            dense_frac=queue_dense_frac, interpret=interpret,
         )
         msdf = jnp.where(skip, margin, msdf)
         out = (d, hit, msdf)

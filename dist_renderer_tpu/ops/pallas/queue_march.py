@@ -76,15 +76,23 @@ N_RES = 16            # queue-result rows: 8 out + pix + valid + pad
 
 def _make_queue_kernel(shared: SharedDecoder, march: MarchConfig,
                        n_caps: int, block: int,
-                       qcap_rays: int, cpf: int):
+                       qcap_rays: int, cpf: int, dense_thresh: float):
     """n_caps: length of the caps_smem schedule array (generation caps,
     runtime values); its LAST entry must be >= march.max_steps (full
-    budget) so no ray survives the final generation."""
+    budget) so no ray survives the final generation.
+
+    dense_thresh (in active rays per chunk): generation-0 chunks at or
+    above it march in place with the gen-0 cap (their lanes are mostly
+    live — marching now avoids a queue round-trip); chunks below it are
+    PACKED without marching (zero MLP evals — a mostly-dead block would
+    burn full block-steps for a few live lanes) and march lane-dense from
+    the queue. Both are pure scheduling: the march carry is Markov, so
+    the result stays bit-identical either way."""
     kinds = _kinds(shared)
     offsets = shared.offsets
     B = block
     max_steps = march.max_steps
-    S_CUR, S_CNT, S_FRAME, S_OVF, S_TILE = 0, 1, 2, 3, 4
+    S_CUR, S_CNT, S_FRAME, S_OVF, S_TILE, S_ONUM, S_RNUM = range(7)
 
     def kernel(live_idx, n_live, frame_of_chunk, caps_smem, rays_hbm,
                bias_hbm, tri_ref, *rest):
@@ -93,7 +101,8 @@ def _make_queue_kernel(shared: SharedDecoder, march: MarchConfig,
         w_refs = rest[:n_w]
         (_defaults, out_hbm, q_hbm, qres_hbm, scal_out,
          rays_v2, out_v, res_v, stage_v, bias_v, q_frame_s, state,
-         sem_in0, sem_in1, sem_out, sem_bias, sem_q, sem_res) = rest[n_w:]
+         sem_in0, sem_in1, sem_out0, sem_out1, sem_bias, sem_q,
+         sem_res0, sem_res1) = rest[n_w:]
 
         f32 = jnp.float32
         state[S_CUR] = 0
@@ -101,7 +110,10 @@ def _make_queue_kernel(shared: SharedDecoder, march: MarchConfig,
         state[S_FRAME] = -1
         state[S_OVF] = 0
         state[S_TILE] = -1
-        res_v[10:16, :] = jnp.zeros((6, B), f32)
+        state[S_ONUM] = 0
+        state[S_RNUM] = 0
+        res_v[0, 10:16, :] = jnp.zeros((6, B), f32)
+        res_v[1, 10:16, :] = jnp.zeros((6, B), f32)
         stage_v[:, :] = jnp.zeros((N_ROWS, 2 * B), f32)
         # scal_out is a plain VMEM output: initialize (overwritten at end)
         scal_out[:, :] = jnp.zeros((1, 128), f32)
@@ -192,9 +204,43 @@ def _make_queue_kernel(shared: SharedDecoder, march: MarchConfig,
                 sem_in0 if slot == 0 else sem_in1,
             )
 
-        def process_fetched(s, ci, to_out: bool, kmax):
-            """March the chunk already resident in ray slot s."""
-            frame = frame_of_chunk[ci] if to_out else q_frame_s[ci]
+        def out_desc(slot: int, ci):
+            """Output-DMA descriptor for out_v slot `slot` -> chunk ci.
+            Waits reconstruct the descriptor with the CURRENT ci — Mosaic's
+            dma_wait accounts by semaphore + transfer size, and all out
+            copies are the same size, so waiting an earlier copy through a
+            different-dst descriptor is sound (same pattern the input
+            fetches already rely on)."""
+            return pltpu.make_async_copy(
+                out_v.at[slot], out_hbm.at[:, pl.ds(ci * B, B)],
+                sem_out0 if slot == 0 else sem_out1,
+            )
+
+        def res_desc(slot: int, ci):
+            return pltpu.make_async_copy(
+                res_v.at[slot], qres_hbm.at[:, pl.ds(ci * B, B)],
+                sem_res0 if slot == 0 else sem_res1,
+            )
+
+        def carry_from_rays(rays):
+            return make_carry(
+                rays[R_D:R_D + 1, :], rays[R_ACT:R_ACT + 1, :],
+                hit=rays[R_HIT:R_HIT + 1, :],
+                d_lo=rays[R_DLO:R_DLO + 1, :],
+                f_lo=rays[R_FLO:R_FLO + 1, :],
+                d_hi=rays[R_DHI:R_DHI + 1, :],
+                f_hi=rays[R_FHI:R_FHI + 1, :],
+                min_sdf=rays[R_MSDF:R_MSDF + 1, :],
+                d_at_min=rays[R_DAM:R_DAM + 1, :],
+                last_f=rays[R_LASTF:R_LASTF + 1, :],
+                steps=rays[R_STEPS:R_STEPS + 1, :],
+            )
+
+        def march_chunk(s, ci, to_out: bool, kmax, frame):
+            """March the chunk resident in ray slot s; write its rows to
+            the double-buffered output (wait only when REUSING a slot, two
+            chunks later — the synchronous wait serialized ~3-5 us of
+            store-DMA latency into every chunk visit); requeue survivors."""
             tile = frame // FRAME_TILE
 
             @pl.when(tile != state[S_TILE])
@@ -217,43 +263,90 @@ def _make_queue_kernel(shared: SharedDecoder, march: MarchConfig,
                                          frame % FRAME_TILE)
             mlp = lambda p8: mlp_apply(kinds, w_refs, biases,
                                        shared.final_tanh, p8)
-            carry0 = make_carry(
-                rays[R_D:R_D + 1, :], rays[R_ACT:R_ACT + 1, :],
-                hit=rays[R_HIT:R_HIT + 1, :],
-                d_lo=rays[R_DLO:R_DLO + 1, :],
-                f_lo=rays[R_FLO:R_FLO + 1, :],
-                d_hi=rays[R_DHI:R_DHI + 1, :],
-                f_hi=rays[R_FHI:R_FHI + 1, :],
-                min_sdf=rays[R_MSDF:R_MSDF + 1, :],
-                d_at_min=rays[R_DAM:R_DAM + 1, :],
-                last_f=rays[R_LASTF:R_LASTF + 1, :],
-                steps=rays[R_STEPS:R_STEPS + 1, :],
-            )
             outc = march_loop(mlp, o, v, near, far, march, max_steps,
-                              True, carry0, kmax=kmax)
+                              True, carry_from_rays(rays), kmax=kmax)
             rows8 = rows_from_carry(outc)
             act_end = outc[1]
 
             if to_out:
-                out_v[:, :] = rows8
-                cout = pltpu.make_async_copy(
-                    out_v, out_hbm.at[:, pl.ds(ci * B, B)], sem_out
-                )
-                cout.start()
-                cout.wait()
+                n = state[S_ONUM]
+                slot = jax.lax.rem(n, 2)
+
+                @pl.when(slot == 0)
+                def _o0():
+                    @pl.when(n >= 2)
+                    def _w():
+                        out_desc(0, ci).wait()
+
+                    out_v[0, :, :] = rows8
+                    out_desc(0, ci).start()
+
+                @pl.when(slot == 1)
+                def _o1():
+                    @pl.when(n >= 2)
+                    def _w():
+                        out_desc(1, ci).wait()
+
+                    out_v[1, :, :] = rows8
+                    out_desc(1, ci).start()
+
+                state[S_ONUM] = n + 1
             else:
-                res_v[0:8, :] = rows8
-                res_v[8:9, :] = rays[R_PIX:R_PIX + 1, :]
-                res_v[9:10, :] = 1.0 - act_end
-                cres = pltpu.make_async_copy(
-                    res_v, qres_hbm.at[:, pl.ds(ci * B, B)], sem_res
-                )
-                cres.start()
-                cres.wait()
+                n = state[S_RNUM]
+                slot = jax.lax.rem(n, 2)
+                pix = rays[R_PIX:R_PIX + 1, :]
+
+                @pl.when(slot == 0)
+                def _r0():
+                    @pl.when(n >= 2)
+                    def _w():
+                        res_desc(0, ci).wait()
+
+                    res_v[0, 0:8, :] = rows8
+                    res_v[0, 8:9, :] = pix
+                    res_v[0, 9:10, :] = 1.0 - act_end
+                    res_desc(0, ci).start()
+
+                @pl.when(slot == 1)
+                def _r1():
+                    @pl.when(n >= 2)
+                    def _w():
+                        res_desc(1, ci).wait()
+
+                    res_v[1, 0:8, :] = rows8
+                    res_v[1, 8:9, :] = pix
+                    res_v[1, 9:10, :] = 1.0 - act_end
+                    res_desc(1, ci).start()
+
+                state[S_RNUM] = n + 1
 
             @pl.when(jnp.sum(act_end) > 0.5)
             def _requeue():
                 append(rays, outc, act_end, frame)
+
+        def process_fetched(s, ci, to_out: bool, kmax):
+            """Dispatch the chunk resident in ray slot s: queue chunks
+            always march (they arrive lane-dense); generation-0 chunks
+            march only at dense occupancy, else they are packed to the
+            queue without touching the MLP (their out rows are the init
+            state the output is already aliased with, and every live
+            lane's final rows arrive via the queue-result scatter)."""
+            if not to_out:
+                march_chunk(s, ci, False, kmax, q_frame_s[ci])
+                return
+
+            frame = frame_of_chunk[ci]
+            rays = rays_v2[s]
+            occ = jnp.sum(rays[R_ACT:R_ACT + 1, :])
+
+            @pl.when(occ >= dense_thresh)
+            def _dense():
+                march_chunk(s, ci, True, kmax, frame)
+
+            @pl.when(occ < dense_thresh)
+            def _pack_only():
+                append(rays, carry_from_rays(rays),
+                       rays[R_ACT:R_ACT + 1, :], frame)
 
         def walk(src_hbm, to_out: bool, idx_of, start, end, kmax):
             """Double-buffered chunk walk over [start, end): chunk k+1's
@@ -327,6 +420,28 @@ def _make_queue_kernel(shared: SharedDecoder, march: MarchConfig,
 
         jax.lax.while_loop(outer_cond, outer_body, (1, 0))
 
+        # drain outstanding output DMAs (each slot waits before REUSE, so
+        # at most one copy per slot is in flight; with n copies started,
+        # the unwaited ones are copies n-1 and n-2 — both slots when
+        # n >= 2, slot 0 alone when n == 1)
+        @pl.when(state[S_ONUM] >= 2)
+        def _drain_out_both():
+            out_desc(0, 0).wait()
+            out_desc(1, 0).wait()
+
+        @pl.when(state[S_ONUM] == 1)
+        def _drain_out_one():
+            out_desc(0, 0).wait()
+
+        @pl.when(state[S_RNUM] >= 2)
+        def _drain_res_both():
+            res_desc(0, 0).wait()
+            res_desc(1, 0).wait()
+
+        @pl.when(state[S_RNUM] == 1)
+        def _drain_res_one():
+            res_desc(0, 0).wait()
+
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         ones = jnp.ones((1, 128), f32)
         scal_out[:, :] = (
@@ -348,6 +463,7 @@ def queue_march(
     block: int = 512,
     gen_caps: Tuple[int, ...] = (6, 16),
     qcap_frac: int = 2,
+    dense_frac: float = 0.5,
     interpret: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """One-launch work-queue fine march; outputs in PIXEL order.
@@ -355,7 +471,14 @@ def queue_march(
     Returns (depth, hit, msdf, depth_at_min, last_sdf, steps, unresolved),
     each [F, N] — every telemetry field comes free (no sort payloads).
     Semantically identical to one full-budget bracket-secant march of
-    march.max_steps over the active rays."""
+    march.max_steps over the active rays.
+
+    dense_frac: generation-0 chunks with at least dense_frac * block
+    active rays march in place with gen_caps[0]; sparser chunks are
+    packed to the queue WITHOUT marching (zero MLP evals for mostly-dead
+    pixel-order blocks) and march lane-dense from the queue. 0.0 marches
+    every gen-0 chunk (the pre-round-3 behavior); > 1.0 packs every
+    chunk. Pure scheduling either way — results stay bit-identical."""
     f, n = key.shape
     f32 = jnp.float32
     B = block
@@ -425,7 +548,8 @@ def queue_march(
 
     caps = tuple(max(int(c), 1) for c in gen_caps) + (march.max_steps,)
     caps_arr = jnp.asarray(caps, jnp.int32)
-    kernel = _make_queue_kernel(shared, march, len(caps), B, qcap_rays, cpf)
+    kernel = _make_queue_kernel(shared, march, len(caps), B, qcap_rays, cpf,
+                                float(dense_frac) * B)
 
     out8, q_buf, qres, scal = pl.pallas_call(
         kernel,
@@ -456,18 +580,20 @@ def queue_march(
         input_output_aliases={7 + len(weights): 0},
         scratch_shapes=[
             pltpu.VMEM((2, N_ROWS, B), f32),         # rays (double-buffered)
-            pltpu.VMEM((8, B), f32),                 # out_v
-            pltpu.VMEM((N_RES, B), f32),             # res_v
+            pltpu.VMEM((2, 8, B), f32),              # out_v (double-buffered)
+            pltpu.VMEM((2, N_RES, B), f32),          # res_v (double-buffered)
             pltpu.VMEM((N_ROWS, 2 * B), f32),        # stage_v
             pltpu.VMEM((shared.total, FRAME_TILE), f32),
             pltpu.SMEM((qcap_chunks,), jnp.int32),   # q_frame
             pltpu.SMEM((8,), jnp.int32),             # state
             pltpu.SemaphoreType.DMA(()),             # sem_in0
             pltpu.SemaphoreType.DMA(()),             # sem_in1
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),             # sem_out0
+            pltpu.SemaphoreType.DMA(()),             # sem_out1
+            pltpu.SemaphoreType.DMA(()),             # sem_bias
+            pltpu.SemaphoreType.DMA(()),             # sem_q
+            pltpu.SemaphoreType.DMA(()),             # sem_res0
+            pltpu.SemaphoreType.DMA(()),             # sem_res1
         ],
         interpret=interpret,
     )(live_idx, n_live, frame_of_chunk, caps_arr, rays, bank, tri,

@@ -552,6 +552,7 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
                     shared_origin=True, return_anchor=True,
                     return_steps=True, return_last=True,
                     scheduler=march.scheduler, queue_caps=march.queue_caps,
+                    queue_dense_frac=march.queue_dense_frac,
                     warm=warm,
                     interpret=interpret,
                 )

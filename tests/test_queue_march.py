@@ -125,6 +125,23 @@ def test_queue_march_tiny_caps_heavy_requeue(scene):
     _assert_exact(res, ref, key)
 
 
+def test_queue_march_dense_frac_extremes(scene):
+    """dense_frac is pure SCHEDULING: march-every-gen-0-chunk (0.0, the
+    pre-round-3 behavior) and pack-every-chunk (2.0: gen 0 never touches
+    the MLP, every live ray marches lane-dense from the queue) must both
+    stay bit-exact vs the uninterrupted full march. qcap_frac=1 for the
+    pack-all case so the whole live set fits without tripping the
+    overflow fallback (which would pass this test vacuously)."""
+    shared, bank, ob, vb, key, idep, ref = scene
+    for frac, qf in ((0.0, 2), (2.0, 1)):
+        res = jax.jit(lambda frac=frac, qf=qf: queue_march(
+            shared, bank, ob, vb, key, idep, MARCH, block=512,
+            gen_caps=(6, 16), qcap_frac=qf, dense_frac=frac,
+            interpret=True,
+        ))()
+        _assert_exact(res, ref, key)
+
+
 def test_queue_march_overflow_fallback(scene):
     """A queue too small for the survivors must trip the overflow flag
     and fall back to the plain full-width march — never drop rays."""
