@@ -145,16 +145,24 @@ def main(argv=None):
     imgs = [colorize_depth(out.depth[i].reshape(hw), out.mask[i].reshape(hw))
             for i in range(min(args.views, 4))]
     save_image(os.path.join(args.out, "final_views.png"), panel(imgs))
+    # reconstruction quality vs the observations (real or synthesized):
+    # silhouette IoU of the fitted render against the observed masks
+    iou = float(jnp.mean(jax.vmap(
+        lambda m, g: jnp.sum(m & g) / jnp.maximum(jnp.sum(m | g), 1)
+    )(out.mask, obs_masks)))
+    summary = {"final_loss": float(res.loss_history[-1]), "mask_iou": iou}
     if args.data:
-        # no GT latent for real data: report silhouette agreement (IoU)
-        iou = jnp.mean(jax.vmap(
-            lambda m, g: jnp.sum(m & g) / jnp.maximum(jnp.sum(m | g), 1)
-        )(out.mask, obs_masks))
-        print(f"final: loss {float(res.loss_history[-1]):.5f}  "
-              f"mask IoU {float(iou):.4f}")
+        print(f"final: loss {summary['final_loss']:.5f}  mask IoU {iou:.4f}")
     else:
-        lat_err = float(jnp.linalg.norm(res.variables - gt_latent))
-        print(f"final: loss {float(res.loss_history[-1]):.5f}  |z - z_gt| {lat_err:.4f}")
+        summary["latent_err"] = float(
+            jnp.linalg.norm(res.variables - gt_latent)
+        )
+        print(f"final: loss {summary['final_loss']:.5f}  mask IoU {iou:.4f}"
+              f"  |z - z_gt| {summary['latent_err']:.4f}")
+    import json
+
+    with open(os.path.join(args.out, "summary.json"), "w") as fh:
+        json.dump(summary, fh)
     if args.mesh:
         import os as _os
 

@@ -74,19 +74,22 @@ def main():
 
     fbd = jax.jit(lambda l, o, v: render_batched_c2f(
         params, dcfg, l, o, v, (img, img), march,
-        strides=tuple(args.strides), with_diag=True))
-    _, _, _, diag = fbd(lat_b, ob, vb)
-    jax.block_until_ready(diag["fine_ray_steps"])
+        strides=tuple(args.strides), with_diag=True, return_steps=True,
+        shared_origin=True))
+    _, _, _, steps_px, diag = fbd(lat_b, ob, vb)
 
-    # fine steps in PIXEL order: diag stores them in sorted order
-    order = np.asarray(diag["order"])
-    steps_sorted = np.asarray(diag["fine_ray_steps"])
-    steps = np.empty_like(steps_sorted)
-    for i in range(F):
-        steps[i][order[i]] = steps_sorted[i]
+    # per-ray FINE steps come back in pixel order via return_steps
+    steps = np.asarray(steps_px)
     key = np.asarray(diag["plan_key"])          # 0 rim, 1 interior, 2 skip
     width = np.asarray(diag["plan_width"])      # coarse window depth range
     np.savez("/tmp/binning_dump.npz", steps=steps, key=key, width=width)
+    for name in sorted(diag):
+        if name.endswith("_ray_steps"):
+            v_ = np.asarray(diag[name])
+            print(f"coarse phase {name}: total={v_.sum()} mean={v_.mean():.2f}")
+        if name.endswith("_block_residency"):
+            v_ = np.asarray(diag[name])
+            print(f"  {name}: blocks={v_.size} residency={v_.sum()}")
 
     print(f"fine evals total={steps.sum()}  per class: "
           f"rim={steps[key == 0].sum()} ({(key == 0).mean():.3f} of rays, "

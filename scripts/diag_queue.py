@@ -29,12 +29,14 @@ from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
 
 
 def timeit(fn, *a, n=10):
+    # warmup and timed region end with a real fetch: block_until_ready is
+    # a no-op until the process's first device->host round-trip
     out = fn(*a)
-    jax.block_until_ready(out)
+    float(jnp.sum(out[0]))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*a)
-    jax.block_until_ready(out)
+    float(jnp.sum(out[0]))
     return (time.perf_counter() - t0) / n
 
 
