@@ -530,6 +530,7 @@ def fine_march_rounds(
     return_anchor: bool = False,
     return_steps: bool = False,
     return_last: bool = False,
+    difficulty_repack: Optional[bool] = None,
 ) -> Tuple[jax.Array, ...]:
     """Multi-round straggler-rebinned fine march; outputs in PIXEL order.
     return_anchor=True additionally returns depth_at_min (the recorded
@@ -569,6 +570,20 @@ def fine_march_rounds(
     overflow the final bucket (never at measured 3.4% live; the slice has
     4-8x headroom), a lax.cond falls back to a full-width final round, so
     correctness never depends on the straggler fraction.
+
+    Why difficulty_repack (and why it is GATED on frame count): repacks
+    can refine the open/bracketed/dead grouping with the quantized
+    |last SDF sample| (a bracketed ray's |f| ~ its remaining secant work;
+    an open ray's |f| separates creeping grazers from fast far-field
+    marchers). Pure scheduling — ray results are order-invariant. The
+    v5e measurements are scale-dependent in a way the kernels don't
+    explain: +5% at F=64 (bench headline) but -10% at F=8-32, with the
+    fine stage IN ISOLATION timing identical either way — the cost is an
+    XLA cross-stage scheduling interaction with the classification
+    pipeline, not the binning (round-3 probes, docs/PERFORMANCE.md).
+    Default None = on when f >= 48. A width-quantized INITIAL subkey was
+    also measured and dropped: same isolation-neutrality, but -35% at
+    F<=32 in the full graph.
     """
     import dataclasses as _dc
 
@@ -596,6 +611,9 @@ def fine_march_rounds(
     if not shared_origin:
         init0.update(ox=origins[..., 0], oy=origins[..., 1],
                      oz=origins[..., 2])
+    if difficulty_repack is None:
+        difficulty_repack = f >= 48
+    carry_lsdf = difficulty_repack or return_last
     key_s, st0 = sort_fields(key, init0)
     st0["live"] = key_s != 2
     st0["hit"] = jnp.zeros((f, n), f32)
@@ -603,7 +621,8 @@ def fine_march_rounds(
     st0["brk"] = jnp.zeros((f, n), bool)
     st0["dam"] = jnp.where(jnp.isfinite(st0["d"]), st0["d"], 0.0)
     st0["stp"] = jnp.zeros((f, n), jnp.int32)
-    if return_last:
+    if carry_lsdf:
+        # |last f| doubles as the difficulty-repack signal
         st0["lsdf"] = jnp.full((f, n), jnp.inf, f32)
 
     caps = tuple(round_caps)
@@ -658,7 +677,7 @@ def fine_march_rounds(
                 st_r = res.steps_per_ray.reshape(f, r_pad)[:, :r]
                 s["stp"] = s["stp"].at[:, :r].set(
                     s["stp"][:, :r] + jnp.where(was, st_r, 0))
-            if return_last:
+            if carry_lsdf:
                 s["lsdf"] = upd(s["lsdf"], res.last_sdf)
             s["live"] = upd(s["live"], res.unresolved)
             return s
@@ -668,12 +687,25 @@ def fine_march_rounds(
             open (still aggressive-marching) survivors first, bracketed
             (a few cheap secant steps) next, dead last — blocks pay the
             max over their rays, so grouping by remaining work keeps
-            them homogeneous."""
-            k2 = jnp.where(~s["live"], 2,
-                           jnp.where(s["brk"], 1, 0)).astype(jnp.int32)
+            them homogeneous. Within each class, the quantized |last f|
+            refines the grouping: bracketed rays with tiny |f| converge
+            in 1-2 secant steps while wide-bracket ones take ~8; open
+            rays with tiny |f| are creeping grazers (30-50 steps) while
+            large-|f| ones either escape or close fast."""
+            if difficulty_repack:
+                eps = march.convergence_eps
+                qf = jnp.digitize(
+                    jnp.abs(jnp.nan_to_num(s["lsdf"], posinf=1e9)),
+                    jnp.asarray([4 * eps, 16 * eps, 64 * eps], f32),
+                ).astype(jnp.int32)
+                k2 = jnp.where(~s["live"], 99,
+                               jnp.where(s["brk"], 4, 0) + qf)
+            else:
+                k2 = jnp.where(~s["live"], 99, jnp.where(s["brk"], 1, 0))
+            k2 = k2.astype(jnp.int32)
             fields = {nm: a for nm, a in s.items() if nm != "live"}
             k2_s, out = sort_fields(k2, fields)
-            out["live"] = k2_s != 2  # live-first prefix in the new order
+            out["live"] = k2_s < 99  # live-first prefix in the new order
             return out
 
         for ri, cap in enumerate(caps):

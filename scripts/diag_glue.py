@@ -17,13 +17,27 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _sync_fetch(out):
+    """Pull one scalar to the host — the only reliable sync here."""
+    import jax.numpy as _jnp
+
+    x = out
+    while isinstance(x, (tuple, list, dict)):
+        x = list(x.values())[0] if isinstance(x, dict) else x[0]
+    float(_jnp.sum(x))
+
+
 def timeit(fn, *a, n=5):
+    # hard host-fetch syncs: block_until_ready is a silent no-op until
+    # the process's first device->host fetch (docs/PERFORMANCE.md)
     out = fn(*a)
     jax.block_until_ready(out)
+    _sync_fetch(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*a)
     jax.block_until_ready(out)
+    _sync_fetch(out)
     return (time.perf_counter() - t0) / n
 
 

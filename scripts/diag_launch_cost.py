@@ -22,11 +22,21 @@ from jax.experimental.pallas import tpu as pltpu
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+def _sync_fetch(out):
+    """Pull one scalar to the host — the only reliable sync here
+    (block_until_ready no-ops until the first fetch, docs/PERFORMANCE.md)."""
+    x = out
+    while isinstance(x, (tuple, list, dict)):
+        x = list(x.values())[0] if isinstance(x, dict) else x[0]
+    float(jnp.sum(x))
+
+
 def timeit(fn, *a, n=20):
-    out = fn(*a); jax.block_until_ready(out)
+    out = fn(*a); jax.block_until_ready(out); _sync_fetch(out)
     t0 = time.perf_counter()
     for _ in range(n): out = fn(*a)
     jax.block_until_ready(out)
+    _sync_fetch(out)
     return (time.perf_counter()-t0)/n
 
 N = 512*512
