@@ -72,14 +72,29 @@ def plan():
     return shared, bank, ob, vb, key, idep
 
 
-def _run(shared, bank, o, v, key, idep, live_frac):
+def _run(shared, bank, o, v, key, idep, live_frac, difficulty_repack=None):
     return jax.jit(
         lambda: fine_march_rounds(
             shared, bank, o, v, key, idep, MARCH, block=512,
             round_caps=(4, 12), interpret=True, live_frac=live_frac,
-            return_steps=True,
+            return_steps=True, difficulty_repack=difficulty_repack,
         )
     )()
+
+
+def test_difficulty_repack_is_pure_scheduling(plan):
+    """The |last f|-quantized repack (production default at F >= 48 —
+    never reached by small-F tests, so forced on here) regroups
+    survivors between rounds but must leave every per-ray result
+    bit-identical: depth, hit, min-SDF, and the per-ray step budget."""
+    shared, bank, ob, vb, key, idep = plan
+    base = _run(shared, bank, ob, vb, key, idep, 3, difficulty_repack=False)
+    qf = _run(shared, bank, ob, vb, key, idep, 3, difficulty_repack=True)
+    for a, b, nm in zip(base, qf, ("depth", "hit", "min_sdf", "steps")):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"difficulty repack changed {nm}",
+        )
 
 
 def test_band_vs_full_frame_budget(plan):
