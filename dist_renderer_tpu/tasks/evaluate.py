@@ -24,6 +24,48 @@ from dist_renderer_tpu.models.decoder import decoder_apply
 from dist_renderer_tpu.tasks.common import add_common_args, analytic_shape, load_task_decoder
 
 
+def _image_metrics(args, pred_fn, gt_fn):
+    """Render-space quality vs the GT shape, both rendered by the SAME
+    pipeline over a camera ring (removes renderer bias from the
+    comparison — only the geometry differs): masked depth L1 and normal
+    cosine error on both-hit pixels, silhouette IoU over the frame.
+    Mirrors the reference's depth/normal/silhouette eval axes
+    (SURVEY.md §2 'Evaluation')."""
+    from dist_renderer_tpu.config import MarchConfig, RenderConfig
+    from dist_renderer_tpu.ops.renderer import render
+    from dist_renderer_tpu.tasks.common import ring_cameras
+
+    cfg = RenderConfig(
+        img_h=args.img, img_w=args.img,
+        march=MarchConfig(max_steps=args.march_steps),
+    )
+    p_sdf = lambda z, p: pred_fn(p)
+    g_sdf = lambda z, p: gt_fn(p)
+    z = jnp.zeros((1,))
+    d_l1, n_err, iou = [], [], []
+    for cam in ring_cameras(args.img, args.views):
+        po = render(p_sdf, z, cam, cfg)
+        go = render(g_sdf, z, cam, cfg)
+        both = po.mask & go.mask
+        nb = jnp.maximum(jnp.sum(both), 1)
+        d_l1.append(float(
+            jnp.sum(jnp.where(both, jnp.abs(po.depth - go.depth), 0.0)) / nb
+        ))
+        cos = jnp.sum(po.normal * go.normal, axis=-1)
+        n_err.append(float(
+            jnp.sum(jnp.where(both, 1.0 - cos, 0.0)) / nb
+        ))
+        iou.append(float(
+            jnp.sum(po.mask & go.mask)
+            / jnp.maximum(jnp.sum(po.mask | go.mask), 1)
+        ))
+    return {
+        "depth_l1": float(np.mean(d_l1)),
+        "normal_cos_err": float(np.mean(n_err)),
+        "silhouette_iou": float(np.mean(iou)),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     add_common_args(ap)
@@ -33,6 +75,13 @@ def main(argv=None):
     ap.add_argument("--mesh-based", action="store_true",
                     help="sample via marching-tetrahedra mesh instead of "
                          "SDF projection")
+    ap.add_argument("--image-metrics", action="store_true",
+                    help="also report render-space metrics vs the GT shape "
+                         "rendered by the SAME pipeline: masked depth L1, "
+                         "normal cosine error, silhouette IoU (the render-"
+                         "quality axes of the reference's eval tables)")
+    ap.add_argument("--views", type=int, default=4,
+                    help="ring views for --image-metrics")
     args = ap.parse_args(argv)
 
     params, base_latent, dcfg = load_task_decoder(args)
@@ -68,6 +117,8 @@ def main(argv=None):
             "chamfer_gt_to_pred": float(b2a),
             "chamfer_sym": float(total),
         })
+        if args.image_metrics:
+            results[-1].update(_image_metrics(args, pred_fn, gt_fn))
         print(json.dumps(results[-1]))
 
     agg = {
@@ -76,6 +127,9 @@ def main(argv=None):
         "chamfer_sym_mean": float(np.mean([r["chamfer_sym"] for r in results])),
         "chamfer_sym_median": float(np.median([r["chamfer_sym"] for r in results])),
     }
+    if args.image_metrics:
+        for k in ("depth_l1", "normal_cos_err", "silhouette_iou"):
+            agg[f"{k}_mean"] = float(np.mean([r[k] for r in results]))
     print(json.dumps(agg))
     if args.out:
         os.makedirs(args.out, exist_ok=True)

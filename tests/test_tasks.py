@@ -98,3 +98,30 @@ def test_batched_render_runs(capsys):
 
     mrays = main(TINY + ["--latents", "2", "--views", "2", "--out", "/tmp/unused"])
     assert mrays > 0
+
+
+def test_evaluate_image_metrics(tmp_path):
+    """The eval driver's chamfer AND render-space metrics: a decoder
+    fitted to the GT shape must score near-perfect on all axes; the
+    JSON artifact carries per-instance + aggregate rows."""
+    from dist_renderer_tpu.tasks.evaluate import main
+
+    # 600 pretrain steps: at 150 the tiny decoder underfits the sphere
+    # (~10% small) and every metric measures decoder quality, not the
+    # eval driver
+    tiny600 = ["--fit-steps" if a == "--fit-steps" else a for a in TINY]
+    tiny600[tiny600.index("--fit-steps") + 1] = "600"
+    agg = main(tiny600 + [
+        "--instances", "2", "--samples", "512", "--latent-noise", "1e-3",
+        "--image-metrics", "--views", "2", "--out", str(tmp_path),
+    ])
+    # breakage bars, not decoder-quality bars (the 24x4 net at 600 fit
+    # steps measures chamfer ~0.018 / depth L1 ~0.019 / cos err ~0.05 /
+    # IoU ~0.95 against its own GT)
+    assert agg["chamfer_sym_mean"] < 0.03
+    assert agg["depth_l1_mean"] < 0.05
+    assert agg["normal_cos_err_mean"] < 0.2
+    assert agg["silhouette_iou_mean"] > 0.85
+    blob = json.load(open(tmp_path / "chamfer.json"))
+    assert len(blob["per_instance"]) == 2
+    assert "silhouette_iou" in blob["per_instance"][0]
