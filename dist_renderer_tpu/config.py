@@ -125,6 +125,21 @@ class GradConfig:
                               # 2 ms faster in isolation — XLA schedules the
                               # separate jvp better inside the full graph;
                               # kept as an option for other deployments.
+    recompute: str = "xla"    # "xla": precise value + jvp denominator +
+                              # normals vjp as separate XLA computations
+                              # (each materializes [bucket, 512] activations
+                              # in HBM — bandwidth-bound). "pallas": ONE
+                              # fused kernel returns (value, denominator,
+                              # spatial gradient) with everything VMEM-
+                              # resident (ops/pallas/recompute.py); the
+                              # custom VJP runs a second fused kernel.
+                              # Caveats of "pallas": requires mode="ift",
+                              # polish_iters<=1, autograd normals
+                              # (normal_eps==0) come back VALUE-exact but
+                              # stop-gradient (no pose Hessian flow through
+                              # normal losses), and latent gradients keep
+                              # bf16-chain accuracy (measured no worse than
+                              # the XLA bf16 backward — tests/test_recompute).
 
 
 @dataclasses.dataclass(frozen=True)

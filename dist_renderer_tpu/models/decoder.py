@@ -282,6 +282,19 @@ def make_precise_sdf(params: Params, cfg: DecoderConfig = DecoderConfig()):
 
     f_dd.defvjp(fdd_fwd, fdd_bwd)
     f.with_dd = f_dd
+
+    # fused Pallas recompute sibling (GradConfig.recompute="pallas"):
+    # built AT TRACE TIME, uncached — the weight packing stages into the
+    # caller's trace as constant subgraphs (XLA folds them at compile
+    # time; zero eager tunnel ops), and caching staged values across
+    # traces would leak tracers (omnistaging stages jnp ops on concrete
+    # inputs too) — ops/pallas/recompute.py
+    def sdg_builder(block: int = 512):
+        from dist_renderer_tpu.ops.pallas.recompute import make_precise_sdg
+
+        return make_precise_sdg(params, cfg, block)
+
+    f.sdg_builder = sdg_builder
     return f
 
 

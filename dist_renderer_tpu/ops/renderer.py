@@ -224,6 +224,12 @@ def render_rays(
         lambda p: _base(_sg(latent), p)
     )
 
+    use_sdg = (
+        cfg.grad.mode == "ift" and cfg.grad.recompute == "pallas"
+        and cfg.grad.polish_iters <= 1 and not cfg.grad.fused_dd
+        and cfg.normal_eps == 0.0 and hasattr(sdf_fn, "sdg_builder")
+    )
+
     def compose(o, v, d0, anchor, hit):
         """Differentiable composition at any ray width.
 
@@ -233,6 +239,21 @@ def render_rays(
         SURVEY.md §3.2: "the silhouette's min-SDF sample is recomputed
         differentiably at its recorded point")."""
         p_surf = o + anchor[:, None] * v           # o/v live (pose grads)
+        if use_sdg:
+            # ONE fused Pallas launch: precise value + IFT denominator +
+            # spatial gradient, VMEM-resident (GradConfig.recompute docs;
+            # the XLA equivalents are HBM-bandwidth-bound at this width).
+            # dd and g are value-exact, stop-gradient by construction.
+            s, dd_raw, g_raw = sdf_fn.sdg_builder()(latent, p_surf, _sg(v))
+            denom = jnp.minimum(_sg(dd_raw), -cfg.grad.ift_min_denom)
+            depth = d0 - s / denom
+            depth = jnp.where(hit, depth, cfg.background_depth)
+            g = _sg(g_raw)
+            normal = g / jnp.maximum(
+                jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12
+            )
+            normal = jnp.where(hit[:, None], normal, 0.0)
+            return depth, s, normal
         if (cfg.grad.mode == "ift" and cfg.grad.fused_dd
                 and hasattr(sdf_fn, "with_dd")):
             # fused precise VALUE + directional derivative: the tangent
