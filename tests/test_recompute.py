@@ -252,3 +252,92 @@ def test_renderer_pallas_recompute_matches_xla():
     rel = lambda a, b: float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
     assert cos(gp, gr) > 0.995
     assert rel(gp, gr) <= rel(gx, gr) + 1e-3
+
+
+def test_pallas_recompute_composes_with_vmap():
+    """Multi-view tasks vmap render_rays over views (tasks/multiview.py).
+    Kernel-level check: sdg under vmap must equal the sequential stack
+    bit-for-bit (pallas_call vmap batching). Renderer-level check:
+    gradients through a vmapped pallas-recompute render are finite and
+    nonzero. (A depth A/B against the xla path is NOT asserted per-view:
+    the two denominators legitimately differ through bf16 gates —
+    fidelity vs fp32 is covered by the e2e test above.)"""
+    import dataclasses
+
+    from dist_renderer_tpu.config import GradConfig, MarchConfig, RenderConfig
+    from dist_renderer_tpu.models.analytic import torus_sdf
+    from dist_renderer_tpu.models.decoder import make_precise_sdf
+    from dist_renderer_tpu.models.pretrain import fit_decoder_to_sdf
+    from dist_renderer_tpu.ops.camera import Camera, pixel_rays
+    from dist_renderer_tpu.ops.renderer import render_rays
+
+    dcfg = DecoderConfig(latent_size=8, hidden_dims=(32,) * 4, latent_in=(2,))
+    params, z0 = fit_decoder_to_sdf(
+        lambda p: torus_sdf(0.55, 0.2)(None, p), dcfg, steps=200, batch=1024
+    )
+    sdg = make_precise_sdg(params, dcfg, block=128)
+    pts = 0.6 * jax.random.normal(jax.random.PRNGKey(2), (3, 50, 3))
+    dirs = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+
+    sv, dv, gv = jax.jit(jax.vmap(lambda p, v: sdg(z0, p, v)))(pts, dirs)
+    for i in range(3):
+        si, di, gi = jax.jit(sdg)(z0, pts[i], dirs[i])
+        np.testing.assert_array_equal(np.asarray(sv[i]), np.asarray(si))
+        np.testing.assert_array_equal(np.asarray(gv[i]), np.asarray(gi))
+
+    img = 16
+    sdf_fn = make_precise_sdf(params, dcfg)
+    cfg = RenderConfig(
+        img_h=img, img_w=img,
+        march=MarchConfig(max_steps=32, convergence_eps=2e-3,
+                          depth_eps=5e-4),
+        grad=GradConfig(mode="ift", recompute="pallas"),
+        compute_dtype="bfloat16",
+    )
+    views = []
+    for ang in (0.0, 1.2, 2.4):
+        cam = Camera.looking_at(
+            (2.0 * np.sin(ang), 0.3, -2.0 * np.cos(ang)),
+            focal=img * 1.2, img_hw=(img, img),
+        )
+        views.append(pixel_rays(cam, img, img))
+    o_s = jnp.stack([v[0] for v in views])
+    v_s = jnp.stack([v[1] for v in views])
+
+    def per_view(z):
+        return jax.vmap(
+            lambda o, v: render_rays(sdf_fn, z, o, v, cfg).depth
+        )(o_s, v_s)
+
+    g = jax.jit(jax.grad(lambda z: jnp.sum(per_view(z) ** 2)))(z0)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+
+def test_pallas_recompute_composes_with_shard_map():
+    """Ray-sharded fits (parallel/sharding.py) run the recompute inside
+    shard_map; each shard runs the kernel on its local rays — results
+    must equal the unsharded call exactly (rays are independent)."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    dcfg = DecoderConfig(latent_size=8, hidden_dims=(32,) * 4, latent_in=(2,))
+    params = init_decoder_params(jax.random.PRNGKey(0), dcfg)
+    latent = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (8,))
+    sdg = make_precise_sdg(params, dcfg, block=128)
+    n = 8 * 64
+    pts = 0.6 * jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    dirs = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rays",))
+    sharded = jax.jit(shard_map(
+        lambda p, v: sdg(latent, p, v),
+        mesh=mesh,
+        in_specs=(P("rays"), P("rays")),
+        out_specs=(P("rays"), P("rays"), P("rays")),
+        check_vma=False,  # pallas_call outputs carry no vma info
+    ))
+    s_sh, dd_sh, g_sh = sharded(pts, dirs)
+    s, dd, g = jax.jit(lambda p, v: sdg(latent, p, v))(pts, dirs)
+    np.testing.assert_array_equal(np.asarray(s_sh), np.asarray(s))
+    np.testing.assert_array_equal(np.asarray(dd_sh), np.asarray(dd))
+    np.testing.assert_array_equal(np.asarray(g_sh), np.asarray(g))
