@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--naive", action="store_true",
                     help="disable c2f/compaction/folded-bf16 fast path")
+    ap.add_argument("--recompute", default="xla", choices=["xla", "pallas"],
+                    help="differentiable-recompute impl (GradConfig."
+                         "recompute): 'pallas' = the fused VMEM-resident "
+                         "kernel (ops/pallas/recompute.py)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -79,7 +83,8 @@ def main():
         ),
         # compact_frac: precise recompute + normals/IFT vjp on a hit-first
         # n/4 bucket instead of full width (lax.cond full-width fallback)
-        grad=GradConfig(mode="ift", compact_frac=4) if fast
+        grad=GradConfig(mode="ift", compact_frac=4,
+                        recompute=args.recompute) if fast
         else GradConfig(mode="last_step"),
         compute_dtype="bfloat16" if fast else "float32",
         use_pallas=fast and on_tpu,
