@@ -226,7 +226,7 @@ def render_rays(
 
     use_sdg = (
         cfg.grad.mode == "ift" and cfg.grad.recompute == "pallas"
-        and cfg.grad.polish_iters <= 1 and not cfg.grad.fused_dd
+        and not cfg.grad.fused_dd
         and cfg.normal_eps == 0.0 and hasattr(sdf_fn, "sdg_builder")
     )
 
@@ -244,8 +244,30 @@ def render_rays(
             # spatial gradient, VMEM-resident (GradConfig.recompute docs;
             # the XLA equivalents are HBM-bandwidth-bound at this width).
             # dd and g are value-exact, stop-gradient by construction.
-            s, dd_raw, g_raw = sdf_fn.sdg_builder()(latent, p_surf, _sg(v))
+            sdg = sdf_fn.sdg_builder()
+            s, dd_raw, g_raw = sdg(latent, p_surf, _sg(v))
             denom = jnp.minimum(_sg(dd_raw), -cfg.grad.ift_min_denom)
+            # extra Newton refinements: unlike the XLA path (frozen
+            # denominator — a fresh jvp per iteration would double its
+            # cost), the kernel returns a fresh directional derivative
+            # for free, so these are full Newton steps — SAFEGUARDED:
+            # a step is accepted only where the denominator is off the
+            # clamp (a real front-facing slope) AND the residual |f|
+            # shrank. This makes extra iterations monotone in |f|, so
+            # FALSE hits (|f| < eps without a crossing — a loose-eps
+            # march produces these on grazing rays) cannot diverge;
+            # Newton would otherwise chase a root that does not exist.
+            for _ in range(max(cfg.grad.polish_iters - 1, 0)):
+                ok = hit & (_sg(dd_raw) < -cfg.grad.ift_min_denom)
+                d_try = jnp.where(ok, d0 - s / denom, d0)
+                p_try = o + jnp.where(hit, _sg(d_try), anchor)[:, None] * v
+                s2, dd2, g2 = sdg(latent, p_try, _sg(v))
+                accept = ok & (jnp.abs(_sg(s2)) <= jnp.abs(_sg(s)))
+                d0 = _sg(jnp.where(accept, d_try, d0))
+                s = jnp.where(accept, s2, s)
+                dd_raw = jnp.where(accept, _sg(dd2), _sg(dd_raw))
+                g_raw = jnp.where(accept[:, None], g2, g_raw)
+                denom = jnp.minimum(_sg(dd_raw), -cfg.grad.ift_min_denom)
             depth = d0 - s / denom
             depth = jnp.where(hit, depth, cfg.background_depth)
             g = _sg(g_raw)

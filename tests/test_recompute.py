@@ -341,3 +341,71 @@ def test_pallas_recompute_composes_with_shard_map():
     np.testing.assert_array_equal(np.asarray(s_sh), np.asarray(s))
     np.testing.assert_array_equal(np.asarray(dd_sh), np.asarray(dd))
     np.testing.assert_array_equal(np.asarray(g_sh), np.asarray(g))
+
+
+def test_pallas_recompute_polish_iters():
+    """polish_iters > 1 on the pallas path: full Newton refinements
+    (fresh denominator per iteration) must converge the depth at least
+    as tightly as one step, with gradients still flowing."""
+    import dataclasses
+
+    from dist_renderer_tpu.config import GradConfig, MarchConfig, RenderConfig
+    from dist_renderer_tpu.models.analytic import torus_sdf
+    from dist_renderer_tpu.models.decoder import make_precise_sdf
+    from dist_renderer_tpu.models.pretrain import fit_decoder_to_sdf
+    from dist_renderer_tpu.ops.camera import Camera, pixel_rays
+    from dist_renderer_tpu.ops.renderer import render_rays
+
+    dcfg = DecoderConfig(latent_size=8, hidden_dims=(32,) * 4, latent_in=(2,))
+    params, z0 = fit_decoder_to_sdf(
+        lambda p: torus_sdf(0.55, 0.2)(None, p), dcfg, steps=300, batch=1024
+    )
+    img = 20
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=img * 1.2,
+                            img_hw=(img, img))
+    origins, dirs = pixel_rays(cam, img, img)
+    sdf_fn = make_precise_sdf(params, dcfg)
+
+    def run(polish):
+        # loose-eps march: the polish must close the gap
+        cfg = RenderConfig(
+            img_h=img, img_w=img,
+            march=MarchConfig(max_steps=40, convergence_eps=8e-3,
+                              depth_eps=2e-3),
+            grad=GradConfig(mode="ift", recompute="pallas",
+                            polish_iters=polish),
+            compute_dtype="bfloat16",
+        )
+        return jax.jit(
+            lambda z: render_rays(sdf_fn, z, origins, dirs, cfg),
+            )(z0)
+
+    out1, out3 = run(1), run(3)
+    hit = np.asarray(out1.mask)
+    assert hit.any()
+    p1 = np.asarray(out1.points)[hit]
+    p3 = np.asarray(out3.points)[hit]
+    s1 = np.abs(np.asarray(decoder_apply(params, z0, jnp.asarray(p1), dcfg)))
+    s3 = np.abs(np.asarray(decoder_apply(params, z0, jnp.asarray(p3), dcfg)))
+    # monotone acceptance: polish may never make ANY ray worse — in
+    # particular FALSE hits (|f| < eps with no crossing, which a loose
+    # 8e-3 march produces on grazing rays) must not diverge
+    assert s3.max() <= s1.max() * 1.02 + 1e-6
+    assert np.median(s3) <= np.median(s1) + 1e-5
+    # distribution-level: more rays land on the fp32 surface after
+    # extra Newton steps (per-ray monotonicity does not survive the
+    # final differentiable step + bf16 acceptance noise)
+    assert (s3 < 2e-3).mean() >= (s1 < 2e-3).mean()
+    # the residual tail is false/grazing hits the 8e-3 march fabricates
+    # (no crossing to converge to) — the point of this test is that they
+    # are bounded (max assert above), not that they are polishable
+    assert (s3 < 2e-3).mean() > 0.7
+    g = jax.jit(jax.grad(lambda z: jnp.sum(render_rays(
+        sdf_fn, z, origins, dirs,
+        RenderConfig(img_h=img, img_w=img,
+                     march=MarchConfig(max_steps=40, convergence_eps=8e-3,
+                                       depth_eps=2e-3),
+                     grad=GradConfig(mode="ift", recompute="pallas",
+                                     polish_iters=3),
+                     compute_dtype="bfloat16")).depth ** 2)))(z0)
+    assert np.isfinite(np.asarray(g)).all()
