@@ -47,6 +47,10 @@ def add_common_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--latent-size", type=int, default=256)
     ap.add_argument("--fit-steps", type=int, default=1500,
                     help="training steps for the analytic-fallback decoder")
+    ap.add_argument("--recompute", default="xla", choices=["xla", "pallas"],
+                    help="differentiable-recompute impl on the --fast "
+                         "path (GradConfig.recompute): 'pallas' = fused "
+                         "VMEM-resident kernel, ops/pallas/recompute.py")
     ap.add_argument("--no-cache", action="store_true",
                     help="do not cache the fallback-fitted decoder")
 
@@ -128,8 +132,9 @@ def make_render_cfg(args) -> RenderConfig:
             **march_kw,
         ),
         # hit-compacted differentiable recompute (bench-matched fast path)
-        grad=GradConfig(mode="ift", compact_frac=4) if args.fast
-        else GradConfig(mode="last_step"),
+        grad=GradConfig(mode="ift", compact_frac=4,
+                        recompute=getattr(args, "recompute", "xla"))
+        if args.fast else GradConfig(mode="last_step"),
         compute_dtype="bfloat16" if args.fast else "float32",
         use_pallas=args.fast and on_tpu,
     )
