@@ -366,7 +366,12 @@ def render_rays(
             # primal (free; the previous full-width bf16 re-eval cost
             # 9.3 ms/frame at 512^2) and attach the decoder vjp at the
             # anchor lazily via custom_vjp, so silhouette losses get the
-            # exact same gradients and depth-only losses prune it all
+            # exact same gradients and depth-only losses prune it all.
+            # On the pallas-recompute path the margin backward routes
+            # through the fused kernels too (VMEM-resident fwd+bwd
+            # launches instead of a full-width HBM-bound XLA vjp, and
+            # precise-forward gates — same fidelity win as the depth
+            # gradient).
             cheap_fn = getattr(sdf_fn, "cheap", sdf_fn)
 
             @jax.custom_vjp
@@ -378,7 +383,13 @@ def render_rays(
 
             def _lm_bwd(res, ct):
                 z, p = res
-                _, vjp = jax.vjp(cheap_fn, z, p)
+                if use_sdg:
+                    sdg_m = sdf_fn.sdg_builder()
+                    _, vjp = jax.vjp(
+                        lambda zz, pp: sdg_m(zz, pp, _sg(dirs))[0], z, p
+                    )
+                else:
+                    _, vjp = jax.vjp(cheap_fn, z, p)
                 gz, gp = vjp(ct)
                 return gz, gp, jnp.zeros_like(ct)
 
