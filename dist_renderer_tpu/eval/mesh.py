@@ -49,17 +49,30 @@ def sdf_grid(
     bound: float = 1.0,
     chunk: int = 65536,
 ) -> np.ndarray:
-    """Evaluate the SDF on a dense grid [R, R, R] (chunked on device)."""
-    xs = np.linspace(-bound, bound, resolution, dtype=np.float32)
-    out = np.empty((resolution, resolution, resolution), np.float32)
-    # slab-wise to bound memory; each slab is one device call
-    slab_pts = resolution * resolution
-    yy, zz = np.meshgrid(xs, xs, indexing="ij")
-    f = jax.jit(sdf_fn)
-    for i, x in enumerate(xs):
-        pts = np.stack([np.full_like(yy, x), yy, zz], axis=-1).reshape(-1, 3)
-        out[i] = np.asarray(f(jnp.asarray(pts))).reshape(resolution, resolution)
-    return out
+    """Evaluate the SDF on a dense grid [R, R, R].
+
+    ONE device dispatch: a lax.map over x-slabs inside a single jit,
+    with the grid points generated ON DEVICE (no host->device point
+    upload). The previous per-slab Python loop issued R separate device
+    calls — on the tunneled-TPU deployment each eager dispatch pays
+    0.3-1.2 s of tunnel latency (CLAUDE.md), i.e. minutes per 128^3
+    grid; slab memory is still bounded (one R^2-point slab live at a
+    time)."""
+    xs = jnp.linspace(-bound, bound, resolution, dtype=jnp.float32)
+
+    @jax.jit
+    def run():
+        yy, zz = jnp.meshgrid(xs, xs, indexing="ij")
+
+        def slab(x):
+            pts = jnp.stack(
+                [jnp.full_like(yy, x), yy, zz], axis=-1
+            ).reshape(-1, 3)
+            return sdf_fn(pts)
+
+        return jax.lax.map(slab, xs)
+
+    return np.asarray(run()).reshape(resolution, resolution, resolution)
 
 
 def marching_tetrahedra(
