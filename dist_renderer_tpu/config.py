@@ -133,13 +133,16 @@ class GradConfig:
                               # spatial gradient) with everything VMEM-
                               # resident (ops/pallas/recompute.py); the
                               # custom VJP runs a second fused kernel.
-                              # Caveats of "pallas": requires mode="ift",
-                              # polish_iters<=1, autograd normals
-                              # (normal_eps==0) come back VALUE-exact but
-                              # stop-gradient (no pose Hessian flow through
-                              # normal losses), and latent gradients keep
-                              # bf16-chain accuracy (measured no worse than
-                              # the XLA bf16 backward — tests/test_recompute).
+                              # Caveats of "pallas": requires mode="ift" and
+                              # autograd normals (normal_eps==0); normals
+                              # come back VALUE-exact but stop-gradient (no
+                              # pose Hessian flow through normal losses).
+                              # polish_iters>1 runs safeguarded full-Newton
+                              # refinements (fresh denominator, monotone-|f|
+                              # acceptance). Latent gradients use precise-
+                              # forward gates — measured ~10x CLOSER to the
+                              # fp32 composition than the XLA bf16 backward
+                              # (tests/test_recompute.py).
 
 
 @dataclasses.dataclass(frozen=True)
