@@ -440,6 +440,11 @@ def make_precise_sdg(
 
     @jax.custom_vjp
     def sdg(latent, points, dirs):
+        if latent.ndim != 1:
+            raise ValueError(
+                "precise_sdg folds ONE latent per call (got shape "
+                f"{latent.shape}); per-point latents need the XLA path"
+            )
         packed = pack_precise(params, cfg)
         biases = fold_bias_precise(params, latent, cfg, packed)
         return precise_sdg_call(packed, biases, points, dirs, block, _interp())
