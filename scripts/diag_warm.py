@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--imgs", type=int, nargs="*", default=[256, 512])
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--refresh", type=int, default=8)
+    ap.add_argument("--recompute", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     dcfg = DecoderConfig()
@@ -62,7 +63,8 @@ def main():
                 coarse_to_fine=True, c2f_strides=(16, 4),
                 c2f_coarse_steps=16,
             ),
-            grad=GradConfig(mode="ift", compact_frac=4),
+            grad=GradConfig(mode="ift", compact_frac=4,
+                            recompute=args.recompute),
             compute_dtype="bfloat16",
             use_pallas=True,
         )
