@@ -125,6 +125,10 @@ class GradConfig:
                               # 2 ms faster in isolation — XLA schedules the
                               # separate jvp better inside the full graph;
                               # kept as an option for other deployments.
+    recompute_block: int = 512  # ray-lane block of the fused recompute
+                              # kernels (fwd kernel VMEM at 512 lanes is
+                              # ~14.8 MB of the 16 MB budget — drop to 256
+                              # if a hardware lowering rejects it)
     recompute: str = "xla"    # "xla": precise value + jvp denominator +
                               # normals vjp as separate XLA computations
                               # (each materializes [bucket, 512] activations

@@ -244,7 +244,7 @@ def render_rays(
             # spatial gradient, VMEM-resident (GradConfig.recompute docs;
             # the XLA equivalents are HBM-bandwidth-bound at this width).
             # dd and g are value-exact, stop-gradient by construction.
-            sdg = sdf_fn.sdg_builder()
+            sdg = sdf_fn.sdg_builder(cfg.grad.recompute_block)
             s, dd_raw, g_raw = sdg(latent, p_surf, _sg(v))
             denom = jnp.minimum(_sg(dd_raw), -cfg.grad.ift_min_denom)
             # extra Newton refinements: unlike the XLA path (frozen
@@ -384,7 +384,7 @@ def render_rays(
             def _lm_bwd(res, ct):
                 z, p = res
                 if use_sdg:
-                    sdg_m = sdf_fn.sdg_builder()
+                    sdg_m = sdf_fn.sdg_builder(cfg.grad.recompute_block)
                     _, vjp = jax.vjp(
                         lambda zz, pp: sdg_m(zz, pp, _sg(dirs))[0], z, p
                     )
