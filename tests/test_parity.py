@@ -78,3 +78,56 @@ def test_fast_path_depth_parity_1e3(decoder):
         np.asarray(fast.normal)[both] * np.asarray(exact.normal)[both], axis=-1
     )
     assert np.median(1.0 - cn) < 1e-4
+
+
+def test_fast_path_depth_parity_pallas_recompute(decoder):
+    """The fused recompute kernel must not degrade the fast path: with
+    the SAME production precise fn (make_precise_sdf), recompute='pallas'
+    matches recompute='xla' quantile-for-quantile against the fp32 exact
+    render. (The absolute 2e-4/1e-3 bars in the test above hold for a
+    CPU-fp32 recompute value; BOTH production recomputes carry the
+    documented ~1e-3 split_x near-surface value noise on this tiny test
+    decoder, so the contract here is comparative.)"""
+    from dist_renderer_tpu.models.decoder import make_precise_sdf
+
+    params, z0, dcfg = decoder
+    img = 32
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(img, img))
+
+    exact_cfg = RenderConfig(
+        img_h=img, img_w=img,
+        march=MarchConfig(max_steps=80, convergence_eps=1e-6, depth_eps=1e-7),
+    )
+    exact = render(lambda z, p: decoder_apply(params, z, p, dcfg),
+                   z0, cam, exact_cfg)
+
+    sdf_fn = make_precise_sdf(params, dcfg)
+
+    def run(rec):
+        cfg = RenderConfig(
+            img_h=img, img_w=img,
+            march=MarchConfig(
+                max_steps=50, convergence_eps=2e-3, depth_eps=5e-4,
+                coarse_to_fine=True, use_compaction=True,
+            ),
+            grad=GradConfig(mode="ift", polish_iters=2, recompute=rec),
+            compute_dtype="bfloat16",
+        )
+        factory = make_march_factory(params, dcfg, cfg)
+        return render(sdf_fn, z0, cam, cfg, factory)
+
+    fx, fp = run("xla"), run("pallas")
+    eh = np.asarray(exact.mask)
+    np.testing.assert_array_equal(np.asarray(fx.mask), np.asarray(fp.mask))
+    both = eh & np.asarray(fx.mask)
+    assert both.sum() > 0.8 * eh.sum()
+
+    ex = np.abs(np.asarray(fx.depth) - np.asarray(exact.depth))[both]
+    ep = np.abs(np.asarray(fp.depth) - np.asarray(exact.depth))[both]
+    assert np.median(ep) <= np.median(ex) * 1.2 + 5e-5
+    assert np.percentile(ep, 95) <= np.percentile(ex, 95) * 1.2 + 1e-4
+
+    cn = np.sum(
+        np.asarray(fp.normal)[both] * np.asarray(exact.normal)[both], axis=-1
+    )
+    assert np.median(1.0 - cn) < 1e-4
