@@ -131,3 +131,60 @@ def test_fast_path_depth_parity_pallas_recompute(decoder):
         np.asarray(fp.normal)[both] * np.asarray(exact.normal)[both], axis=-1
     )
     assert np.median(1.0 - cn) < 1e-4
+
+
+def test_parity_production_arch_bench_decoder():
+    """Absolute ≤1e-3 bar at the PRODUCTION architecture (8x512, latent
+    256) on the committed bench fixture (.bench_decoder.npz — the same
+    decoder BENCH_r*.json numbers are measured on), for both recompute
+    implementations. Small frame: the fp32 exact march at this arch is
+    ~100 GFLOP on the 1-core CPU test runner."""
+    import os
+
+    from dist_renderer_tpu.models.analytic import round_union, sphere_sdf, torus_sdf
+    from dist_renderer_tpu.models.decoder import make_precise_sdf
+    from dist_renderer_tpu.models.pretrain import get_or_fit_cached
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_decoder.npz")
+    if not os.path.exists(cache):
+        pytest.skip("bench decoder fixture not present")
+    shape = round_union(
+        torus_sdf(0.55, 0.18), sphere_sdf(0.35, (0.0, 0.25, 0.0)), 0.08
+    )
+    dcfg = DecoderConfig()
+    params, z0 = get_or_fit_cached(cache, lambda p: shape(None, p), dcfg,
+                                   steps=1500)
+    img = 16
+    cam = Camera.looking_at((0.0, 0.0, -2.5), focal=img * 1.2,
+                            img_hw=(img, img))
+
+    exact_cfg = RenderConfig(
+        img_h=img, img_w=img,
+        march=MarchConfig(max_steps=80, convergence_eps=1e-6, depth_eps=1e-7),
+    )
+    exact = render(lambda z, p: decoder_apply(params, z, p, dcfg),
+                   z0, cam, exact_cfg)
+
+    sdf_fn = make_precise_sdf(params, dcfg)
+    for rec in ("xla", "pallas"):
+        cfg = RenderConfig(
+            img_h=img, img_w=img,
+            march=MarchConfig(
+                max_steps=50, convergence_eps=2e-3, depth_eps=5e-4,
+                coarse_to_fine=True, use_compaction=True,
+            ),
+            grad=GradConfig(mode="ift", polish_iters=2, recompute=rec),
+            compute_dtype="bfloat16",
+        )
+        factory = make_march_factory(params, dcfg, cfg)
+        fast = render(sdf_fn, z0, cam, cfg, factory)
+        eh, fh = np.asarray(exact.mask), np.asarray(fast.mask)
+        both = eh & fh
+        assert both.sum() > 0.8 * eh.sum(), rec
+        derr = np.abs(np.asarray(fast.depth) - np.asarray(exact.depth))
+        frontal = np.abs(np.asarray(exact.normal)[..., 2]) > 0.2
+        sel = both & frontal
+        assert sel.sum() > 20, rec
+        p95 = np.percentile(derr[sel], 95)
+        assert p95 < 1e-3, f"{rec}: production-arch p95 depth err {p95:.2e}"
