@@ -14,6 +14,8 @@ echo "== bench xla =="
 timeout 2400 python bench.py --img 512 2>"$OUT/bench_xla.err" | tee "$OUT/bench_xla.json"
 echo "== bench pallas =="
 timeout 2400 python bench.py --img 512 --recompute pallas 2>"$OUT/bench_pallas.err" | tee "$OUT/bench_pallas.json"
+echo "== queue caps / scheduler sweep (post-recompute graph) =="
+timeout 2400 python scripts/diag_queue.py 2>"$OUT/queue.err" | tee "$OUT/queue.txt"
 echo "== warm-start with pallas recompute (step was recompute-bound; re-check) =="
 timeout 2400 python scripts/diag_warm.py --imgs 512 --recompute pallas 2>"$OUT/warm.err" | tee "$OUT/warm.txt"
 echo "done -> $OUT"
