@@ -35,8 +35,11 @@ _NEG_BIG = -3.0e38  # stand-ins for +-inf that survive bf16/fp32 where-games
 _POS_BIG = 3.0e38
 
 
-def mlp_apply(kinds, w_refs, biases, final_tanh, p8):
+def mlp_apply(kinds, w_refs, biases, final_tanh, p8, out_rows=1):
     """One fused MLP eval: p8 [8, B] bf16 (rows 0-2 = xyz) -> sdf [1, B] fp32.
+
+    out_rows: leading output rows to return (1 for SDF decoders — the
+    march kernels; 3 for RGB heads via ops/pallas/mlp_eval.py).
 
     kinds: per-layer input descriptor 'h' / 'x' / 'hx' (hidden and/or
     network-input term — the skip-concat layer is 'hx'). w_refs: weight
@@ -74,7 +77,7 @@ def mlp_apply(kinds, w_refs, biases, final_tanh, p8):
             h = jnp.maximum(acc, 0.0).astype(jnp.bfloat16)
         else:
             h = acc
-    sdf = h[0:1, :]
+    sdf = h[0:out_rows, :]
     if final_tanh:
         sdf = jnp.tanh(sdf)
     return sdf

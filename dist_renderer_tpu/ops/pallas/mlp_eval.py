@@ -36,7 +36,7 @@ from dist_renderer_tpu.ops.pallas.fused_march import (
 from dist_renderer_tpu.ops.pallas.march_body import mlp_apply
 
 
-def _make_eval_kernel(layout, final_tanh: bool):
+def _make_eval_kernel(layout, final_tanh: bool, out_rows: int = 1):
     def kernel(pts_ref, *refs):
         refs_all = refs[:-1]
         out_ref = refs[-1]
@@ -49,10 +49,10 @@ def _make_eval_kernel(layout, final_tanh: bool):
             biases.append(refs_all[idx][:, :])
             idx += 1
         p8 = pts_ref[:, :].astype(jnp.bfloat16)
-        sdf = mlp_apply(layout, w_refs, biases, final_tanh, p8)
-        B = sdf.shape[1]
+        out = mlp_apply(layout, w_refs, biases, final_tanh, p8, out_rows)
+        B = out.shape[1]
         out_ref[:, :] = jnp.concatenate(
-            [sdf, jnp.zeros((7, B), jnp.float32)], axis=0
+            [out, jnp.zeros((8 - out_rows, B), jnp.float32)], axis=0
         )
 
     return kernel
@@ -63,8 +63,10 @@ def pallas_point_eval(
     points: jax.Array,       # [N, 3]
     block: int = 512,
     interpret: Optional[bool] = None,
+    out_rows: int = 1,
 ) -> jax.Array:
-    """Evaluate a packed folded decoder at points -> sdf [N] fp32."""
+    """Evaluate a packed folded decoder at points -> [N] fp32 (out_rows
+    == 1) or [N, out_rows] (multi-channel heads, e.g. RGB)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = points.shape[0]
@@ -85,7 +87,7 @@ def pallas_point_eval(
         for w in weights
     ]
     out = pl.pallas_call(
-        _make_eval_kernel(layout, packed.final_tanh),
+        _make_eval_kernel(layout, packed.final_tanh, out_rows),
         grid=(n_pad // block,),
         in_specs=[
             pl.BlockSpec((8, block), lambda i: (0, i),
@@ -97,7 +99,9 @@ def pallas_point_eval(
         out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         interpret=interpret,
     )(pts, *weights)
-    return out[0, :n]
+    if out_rows == 1:
+        return out[0, :n]
+    return out[0:out_rows, :n].T
 
 
 def make_pallas_point_fn(
@@ -119,3 +123,27 @@ def make_pallas_point_fn(
         ).reshape(shape)
 
     return point_fn
+
+
+def make_pallas_color_fn(
+    params: Params,
+    latent: jax.Array,
+    cfg: DecoderConfig,
+    block: int = 512,
+    interpret: Optional[bool] = None,
+):
+    """(points [..., 3]) -> RGB [..., 3] in [0, 1] through the fused eval
+    kernel (sigmoid applied outside) — forward-only drop-in for
+    models.color_decoder.color_apply with a bound latent. For
+    DIFFERENTIABLE color (photometric training) use
+    recompute.make_color_vjp instead."""
+
+    def color_fn(points):
+        packed = pack_folded(fold_latent(params, latent, cfg), cfg)
+        shape = points.shape[:-1]
+        logits = pallas_point_eval(
+            packed, points.reshape(-1, 3), block, interpret, out_rows=3
+        )
+        return jax.nn.sigmoid(logits).reshape(shape + (3,))
+
+    return color_fn

@@ -296,13 +296,27 @@ def _make_fwd_kernel(packed: PackedPrecise, n_bias: int):
     return kernel
 
 
-def _make_bwd_kernel(packed: PackedPrecise, n_bias: int, u_rows: int):
+def _make_bwd_kernel(packed: PackedPrecise, n_bias: int, u_rows: int,
+                     seed_rows: int = 1, scalar_chain: bool = True,
+                     want_gx: bool = False):
+    """Cotangent-seeded reverse kernel. seed_rows: how many leading ct
+    rows seed the last layer's preactivation gradient. scalar_chain=True
+    applies the sdf tanh chain to a 1-row seed (the sdg path);
+    scalar_chain=False takes the rows as PREACTIVATION cotangents
+    verbatim (multi-channel heads pre-multiply their own output-
+    activation derivative host-side). want_gx additionally emits the
+    ct-weighted input-xyz gradient per ray as a second output."""
     meta = packed.meta
 
     def kernel(pts_ref, ct_ref, *refs):
-        u_ref = refs[-1]
+        if want_gx:
+            u_ref, gx_ref = refs[-2], refs[-1]
+            tail = 2
+        else:
+            u_ref = refs[-1]
+            tail = 1
         biases = refs[:n_bias]
-        w_refs = refs[n_bias:-1]
+        w_refs = refs[n_bias:-tail]
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -310,18 +324,36 @@ def _make_bwd_kernel(packed: PackedPrecise, n_bias: int, u_rows: int):
             u_ref[:, :] = jnp.zeros_like(u_ref)
 
         x8 = pts_ref[:, :]
-        ct = ct_ref[0:1, :]
         s, gates, pre_last, layer_ops = _forward(
             meta, w_refs, biases, x8, packed.use_tanh, packed.final_tanh
         )
-        delta = _seed_last(meta, pre_last, s, packed.use_tanh,
-                           packed.final_tanh, ct)
-        _, us = _reverse(meta, layer_ops, gates, delta, False, True)
+        if scalar_chain:
+            delta = _seed_last(meta, pre_last, s, packed.use_tanh,
+                               packed.final_tanh, ct_ref[0:1, :])
+        else:
+            B = pre_last.shape[1]
+            rowmask = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (meta[-1].out_p, B), 0) < seed_rows
+            )
+            ct8 = ct_ref[:, :]
+            delta = jnp.where(
+                rowmask, ct8[:meta[-1].out_p, :]
+                if ct8.shape[0] >= meta[-1].out_p
+                else jnp.pad(ct8, ((0, meta[-1].out_p - ct8.shape[0]), (0, 0))),
+                0.0,
+            )
+        gx, us = _reverse(meta, layer_ops, gates, delta, want_gx, True)
         u = jnp.concatenate(us, axis=0)          # [u_rows, 1]
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == (i % 128)
         )
         u_ref[:, :] = u_ref[:, :] + jnp.where(onehot, u, 0.0)
+        if want_gx:
+            B = gx.shape[1]
+            gx_ref[:, :] = jnp.concatenate(
+                [gx[0:3, :], jnp.zeros((5, B), jnp.float32)], axis=0
+            )
 
     return kernel
 
@@ -372,22 +404,41 @@ def precise_bias_grads_call(
     packed: PackedPrecise,
     biases: Tuple[jax.Array, ...],
     points: jax.Array,       # [N, 3] fp32
-    ct: jax.Array,           # [N] fp32 cotangent on the value
+    ct: jax.Array,           # [N] or [N, seed_rows] fp32 cotangents
     block: int = 512,
     interpret: bool = False,
-) -> List[jax.Array]:
+    scalar_chain: bool = True,
+    want_gx: bool = False,
+):
     """Cotangent-weighted bias gradients u_l = delta_l @ ct for each
-    z-consuming layer (ascending layer order), each [out_p]."""
+    z-consuming layer (ascending layer order), each [out_p]. With
+    scalar_chain=False, ct is [N, seed_rows] PREACTIVATION cotangents
+    for the last layer's leading rows (multi-channel heads). want_gx
+    additionally returns the ct-weighted input-xyz gradient [N, 3]."""
     n = points.shape[0]
     n_pad = _round_up(max(n, block), block)
     pts = jnp.zeros((8, n_pad), jnp.float32)
     pts = pts.at[0:3, :n].set(points.T)
     cts = jnp.zeros((8, n_pad), jnp.float32)
-    cts = cts.at[0, :n].set(ct)
+    if ct.ndim == 1:
+        seed_rows = 1
+        cts = cts.at[0, :n].set(ct)
+    else:
+        seed_rows = ct.shape[1]
+        cts = cts.at[0:seed_rows, :n].set(ct.T)
 
     u_rows = sum(m.out_p for m in packed.meta if m.takes_z)
-    kernel = _make_bwd_kernel(packed, len(biases), u_rows)
-    u = pl.pallas_call(
+    kernel = _make_bwd_kernel(packed, len(biases), u_rows,
+                              seed_rows=seed_rows,
+                              scalar_chain=scalar_chain, want_gx=want_gx)
+    out_specs = [pl.BlockSpec((u_rows, 128), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((u_rows, 128), jnp.float32)]
+    if want_gx:
+        out_specs.append(pl.BlockSpec((8, block), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((8, n_pad), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=(n_pad // block,),
         in_specs=[
@@ -396,11 +447,11 @@ def precise_bias_grads_call(
             *_full_specs(biases),
             *_full_specs(packed.ops),
         ],
-        out_specs=pl.BlockSpec((u_rows, 128), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((u_rows, 128), jnp.float32),
+        out_specs=out_specs if want_gx else out_specs[0],
+        out_shape=out_shapes if want_gx else out_shapes[0],
         interpret=interpret,
     )(pts, cts, *biases, *packed.ops)
+    u = res[0] if want_gx else res
     u = jnp.sum(u, axis=1)
     out = []
     off = 0
@@ -408,6 +459,8 @@ def precise_bias_grads_call(
         if m.takes_z:
             out.append(u[off:off + m.out_p])
             off += m.out_p
+    if want_gx:
+        return out, res[1][0:3, :n].T
     return out
 
 
@@ -472,3 +525,64 @@ def make_precise_sdg(
 
     sdg.defvjp(sdg_fwd, sdg_bwd)
     return sdg
+
+
+def make_color_vjp(
+    params: Params,
+    cfg: DecoderConfig,
+    block: int = 512,
+    interpret: Optional[bool] = None,
+):
+    """(latent, points) -> RGB [N, 3] with a custom VJP — the
+    differentiable color-decoder path (photometric losses reach both the
+    texture latent and, through surface points, geometry/pose).
+
+    Primal: the bf16 fused eval kernel (color tolerances are loose — the
+    reference evaluates color decoders in eval mode only). Backward: the
+    seeded reverse kernel with sigmoid-preactivation cotangents
+    (scalar_chain=False), emitting bias-path gz and per-ray gp in ONE
+    launch. Requires cfg.final_tanh=False and cfg.use_tanh=False (the
+    color-decoder convention, models/color_decoder.py)."""
+    if cfg.final_tanh or cfg.use_tanh:
+        raise ValueError("make_color_vjp expects a sigmoid-output head "
+                         "(final_tanh=False, use_tanh=False)")
+
+    def _interp():
+        if interpret is not None:
+            return interpret
+        return jax.default_backend() != "tpu"
+
+    @jax.custom_vjp
+    def rgb_fn(latent, points):
+        from dist_renderer_tpu.models.folded import fold_latent
+        from dist_renderer_tpu.ops.pallas.mlp_eval import pallas_point_eval
+        from dist_renderer_tpu.ops.pallas.fused_march import pack_folded
+
+        if latent.ndim != 1:
+            raise ValueError("one latent per call")
+        packed_e = pack_folded(fold_latent(params, latent, cfg), cfg)
+        logits = pallas_point_eval(
+            packed_e, points, block, _interp(), out_rows=3
+        )
+        return jax.nn.sigmoid(logits)
+
+    def rgb_fwd(latent, points):
+        out = rgb_fn(latent, points)
+        return out, (latent, points, out)
+
+    def rgb_bwd(res, ct):
+        latent, points, rgb = res
+        ct_pre = ct * rgb * (1.0 - rgb)          # sigmoid derivative
+        packed = pack_precise(params, cfg)
+        biases = fold_bias_precise(params, latent, cfg, packed)
+        us, gp = precise_bias_grads_call(
+            packed, biases, points, ct_pre, block, _interp(),
+            scalar_chain=False, want_gx=True,
+        )
+        gz = jnp.zeros_like(latent)
+        for (li, wz_l), u in zip(packed.wz, us):
+            gz = gz + wz_l @ u[:wz_l.shape[1]]
+        return gz, gp
+
+    rgb_fn.defvjp(rgb_fwd, rgb_bwd)
+    return rgb_fn

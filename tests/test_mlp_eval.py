@@ -86,3 +86,52 @@ def test_extract_mesh_through_eval_kernel():
     assert len(verts) > 100 and len(faces) > 100
     r = np.linalg.norm(verts, axis=-1)
     assert abs(np.median(r) - 0.6) < 0.05
+
+
+def test_color_eval_and_vjp():
+    """Fused color path: forward RGB matches color_apply to bf16
+    tolerance; the custom VJP's (gz, gp) match fp32 autodiff of
+    color_apply within bf16-chain tolerance."""
+    from dist_renderer_tpu.models.color_decoder import (
+        color_apply, init_color_params, make_color_config,
+    )
+    from dist_renderer_tpu.ops.pallas.mlp_eval import make_pallas_color_fn
+    from dist_renderer_tpu.ops.pallas.recompute import make_color_vjp
+
+    ccfg = make_color_config(latent_size=16, hidden_dims=(48,) * 4,
+                             latent_in=(2,))
+    params = init_color_params(jax.random.PRNGKey(0), ccfg)
+    latent = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (16,))
+    pts = 0.6 * jax.random.normal(jax.random.PRNGKey(2), (300, 3))
+
+    # forward-only fn
+    cfn = make_pallas_color_fn(params, latent, ccfg, block=128)
+    rgb = jax.jit(cfn)(pts)
+    ref = color_apply(params, latent, pts, ccfg)
+    err = np.abs(np.asarray(rgb) - np.asarray(ref))
+    assert np.quantile(err, 0.99) < 5e-3   # sigmoid-compressed bf16 noise
+    assert ((rgb >= 0) & (rgb <= 1)).all()
+
+    # differentiable path
+    rgb_fn = make_color_vjp(params, ccfg, block=128)
+    rgb2 = jax.jit(rgb_fn)(latent, pts)
+    np.testing.assert_array_equal(np.asarray(rgb2), np.asarray(rgb))
+
+    w = jax.random.normal(jax.random.PRNGKey(3), (300, 3))
+    gz, gp = jax.jit(jax.grad(
+        lambda z, p: jnp.sum(w * rgb_fn(z, p)), argnums=(0, 1)
+    ))(latent, pts)
+    gz_r, gp_r = jax.grad(
+        lambda z, p: jnp.sum(w * color_apply(params, z, p, ccfg)),
+        argnums=(0, 1),
+    )(latent, pts)
+
+    def rel(a, b):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+    assert rel(gz, gz_r) < 0.1
+    assert rel(gp, gp_r) < 0.1
+    cz = np.dot(np.asarray(gz).ravel(), np.asarray(gz_r).ravel()) / (
+        np.linalg.norm(gz) * np.linalg.norm(gz_r) + 1e-12)
+    assert cz > 0.995
