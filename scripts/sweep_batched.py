@@ -85,11 +85,24 @@ def main():
     ):
         configs.append(dict(strides=(16, 4), coarse_steps=16,
                             round_caps=caps, live_frac=lf))
+    # rim-aggressiveness sweep: creep evals on grazing rays scale ~1/alpha
+    # (rim = 59% of fine evals); alpha > 1.5 widens the skippable-feature
+    # band from 0.5f to (alpha-1)f, so the hit-agree guard below is the
+    # acceptance gate (disagreement must stay rim-confined)
+    for a in (1.75, 2.0):
+        configs.append(dict(strides=(16, 4), coarse_steps=16,
+                            round_caps=(4, 12), live_frac=3, alpha=a))
+
+    import dataclasses as _dc
 
     best = None
     for c in configs:
-        fb = jax.jit(lambda l, o, v, c=c: render_batched_c2f(
-            params, dcfg, l, o, v, (img, img), march,
+        c = dict(c)
+        m_c = march
+        if "alpha" in c:
+            m_c = _dc.replace(march, alpha=c.pop("alpha"))
+        fb = jax.jit(lambda l, o, v, c=c, m_c=m_c: render_batched_c2f(
+            params, dcfg, l, o, v, (img, img), m_c,
             shared_origin=True, **c))
         try:
             t, (d, hit, _) = timeit(fb, lat_b, ob, vb)
