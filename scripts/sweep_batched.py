@@ -97,6 +97,7 @@ def main():
 
     best = None
     for c in configs:
+        label = dict(c)
         c = dict(c)
         m_c = march
         if "alpha" in c:
@@ -107,7 +108,7 @@ def main():
         try:
             t, (d, hit, _) = timeit(fb, lat_b, ob, vb)
         except Exception as e:
-            print(f"{c}: FAILED {type(e).__name__}: {e}", flush=True)
+            print(f"{label}: FAILED {type(e).__name__}: {e}", flush=True)
             continue
         mrays = F * n / t / 1e6
         import numpy as np
@@ -115,11 +116,11 @@ def main():
         dd = np.abs(np.asarray(d_ref) - np.asarray(d))[both]
         agree = float(np.mean(np.asarray(hit_ref) == np.asarray(hit)))
         p95 = float(np.percentile(dd, 95)) if dd.size else 0.0
-        print(f"{c}: {t*1e3:.1f} ms = {t*1e3/F:.2f} ms/frame -> "
+        print(f"{label}: {t*1e3:.1f} ms = {t*1e3/F:.2f} ms/frame -> "
               f"{mrays:.2f} Mrays/s  hit-agree={agree:.4f} p95|dd|={p95:.2e}",
               flush=True)
         if best is None or mrays > best[1]:
-            best = (c, mrays)
+            best = (label, mrays)
     print("BEST:", best, flush=True)
 
 
