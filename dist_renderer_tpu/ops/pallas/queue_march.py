@@ -402,13 +402,19 @@ def _make_queue_kernel(shared: SharedDecoder, march: MarchConfig,
             flush()
 
         # ---- queue generations: ONE generic walker, runtime caps ----
+        # The queue cursor is threaded through the while CARRY (read from
+        # SMEM at the END of each body) instead of reading state[S_CUR]
+        # inside the cond: a ref read in a while_loop COND observed the
+        # PRE-body value in interpret mode at small chunk counts (nc==1
+        # bands returned with their queued stragglers never marched —
+        # caught by the sharded-queue plan-exactness test), and carry
+        # threading is the unambiguous formulation for Mosaic too.
         def outer_cond(c):
-            g, start = c
-            return start < state[S_CUR]
+            g, start, cur = c
+            return start < cur
 
         def outer_body(c):
-            g, start = c
-            end_g = state[S_CUR]       # chunk-unit snapshot before the walk
+            g, start, end_g = c        # end_g: cursor snapshot (carry)
             cap = caps_smem[jnp.minimum(g, n_caps - 1)]
             walk(q_hbm, False, lambda k: k, start, end_g, cap)
 
@@ -416,9 +422,9 @@ def _make_queue_kernel(shared: SharedDecoder, march: MarchConfig,
             def _tailg():
                 flush()
 
-            return (g + 1, end_g)
+            return (g + 1, end_g, state[S_CUR])
 
-        jax.lax.while_loop(outer_cond, outer_body, (1, 0))
+        jax.lax.while_loop(outer_cond, outer_body, (1, 0, state[S_CUR]))
 
         # drain outstanding output DMAs (each slot waits before REUSE, so
         # at most one copy per slot is in flight; with n copies started,
@@ -447,6 +453,8 @@ def _make_queue_kernel(shared: SharedDecoder, march: MarchConfig,
         scal_out[:, :] = (
             jnp.where(lane == 0, ones * state[S_CUR], 0.0)
             + jnp.where(lane == 1, ones * state[S_OVF], 0.0)
+            + jnp.where(lane == 2, ones * state[S_RNUM], 0.0)
+            + jnp.where(lane == 3, ones * state[S_ONUM], 0.0)
         )
 
     return kernel
@@ -465,6 +473,7 @@ def queue_march(
     qcap_frac: int = 2,
     dense_frac: float = 0.5,
     interpret: bool = False,
+    debug_raw: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """One-launch work-queue fine march; outputs in PIXEL order.
 
@@ -601,6 +610,8 @@ def queue_march(
 
     n_q = scal[0, 0].astype(jnp.int32) * B   # kernel cursor is in chunks
     overflow = scal[0, 1] > 0.5
+    if debug_raw:
+        return out8, q_buf, qres, scal
 
     # merge queue results back to pixel slots: one scatter, no sorts
     slot = jnp.arange(qcap_rays, dtype=jnp.int32)

@@ -179,6 +179,9 @@ def render_batched_c2f_sharded(
     interpret: bool = False,
     round_caps: Tuple[int, ...] = (4, 12),
     shared_origin: bool = False,
+    scheduler: str = "rounds",
+    queue_caps: Tuple[int, ...] = (1, 2, 6, 16),
+    queue_dense_frac: float = 0.5,
 ):
     """Config-#5 flagship at scale: the multi-frame fused kernel composed
     with shard_map over a 2-D mesh (SURVEY.md §2 parallelism table row 3:
@@ -197,6 +200,13 @@ def render_batched_c2f_sharded(
 
     Restrictions: H divisible by max(strides) * mesh[ray_axis] for every
     valid level. Returns (depth, hit, min_sdf), each [F, H*W].
+
+    scheduler: "rounds" (sort re-binning — batched-throughput winner) |
+    "queue" (one-launch work-queue per shard, each chip walks its own
+    band's queue in parallel — the multi-chip single-frame LATENCY path)
+    | "auto" (queue when each shard holds one frame). Both are
+    semantically one uninterrupted full-budget march, so the plan-exact
+    guarantee holds for either.
     """
     import dataclasses as _dc
 
@@ -286,10 +296,22 @@ def render_batched_c2f_sharded(
         key, init_depth, skip = plan_from_maps(maps)
         margin = maps.margin.reshape(f_loc, -1)
         o_in = o[:, :1, :] if shared_origin else o
-        d, hit, msdf = fine_march_rounds(
-            shared, bank, o_in, v, key, init_depth, march,
-            block=block, round_caps=round_caps, interpret=interpret,
-        )
+        sched = scheduler
+        if sched == "auto":
+            sched = "queue" if f_loc == 1 else "rounds"
+        if sched == "queue":
+            from dist_renderer_tpu.ops.pallas.queue_march import queue_march
+
+            d, hit, msdf, _dam, _lastf, _steps, _unres = queue_march(
+                shared, bank, o_in, v, key, init_depth, march,
+                block=block, gen_caps=queue_caps,
+                dense_frac=queue_dense_frac, interpret=interpret,
+            )
+        else:
+            d, hit, msdf = fine_march_rounds(
+                shared, bank, o_in, v, key, init_depth, march,
+                block=block, round_caps=round_caps, interpret=interpret,
+            )
         msdf = jnp.where(skip, margin, msdf)
         return d, hit, msdf
 

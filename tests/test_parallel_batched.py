@@ -152,3 +152,45 @@ def test_sharded_pallas_parity_bar(decoder):
     )
     # and quantified: rim disagreement is a small minority of the rim
     assert disagree.sum() <= 0.5 * rim.sum()
+
+
+def test_sharded_queue_scheduler_plan_exact(decoder):
+    """The work-queue scheduler under shard_map: each ray band walks its
+    own in-kernel queue (the multi-chip single-frame LATENCY path) —
+    must equal the single-device QUEUE render exactly (both runs are
+    semantically one uninterrupted full-budget march over the same
+    plan, which the halo exchange makes band-identical)."""
+    from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
+    from dist_renderer_tpu.parallel.sharding import render_batched_c2f_sharded
+
+    params, z0, dcfg = decoder
+    img, F = 32, 2
+    latents = jnp.stack([z0] * F) + 0.02 * jax.random.normal(
+        jax.random.PRNGKey(5), (F, dcfg.latent_size)
+    )
+    ob, vb = _rays(img, F)
+    mesh = make_mesh(("latents", "rays"), (2, 4))
+
+    d_ref, hit_ref, msdf_ref = jax.jit(
+        lambda l, o, v: render_batched_c2f(
+            params, dcfg, l, o, v, (img, img), MARCH,
+            strides=(4,), coarse_steps=16, interpret=True,
+            scheduler="queue",
+        )
+    )(latents, ob, vb)
+    d_sh, hit_sh, msdf_sh = jax.jit(
+        lambda l, o, v: render_batched_c2f_sharded(
+            params, dcfg, l, o, v, (img, img), MARCH, mesh,
+            strides=(4,), coarse_steps=16, interpret=True,
+            scheduler="queue",
+        )
+    )(latents, ob, vb)
+    hit_ref = np.asarray(hit_ref)
+    assert hit_ref.sum() > 100
+    np.testing.assert_array_equal(np.asarray(hit_sh), hit_ref)
+    np.testing.assert_allclose(
+        np.asarray(d_sh)[hit_ref], np.asarray(d_ref)[hit_ref], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(msdf_sh), np.asarray(msdf_ref), atol=1e-6
+    )
