@@ -193,10 +193,17 @@ def render_batched_c2f_sharded(
     coarse cell's 3x3 neighborhood, so bands exchange ONE boundary coarse
     row with their neighbors per level via `lax.ppermute` (the only
     communication — a few KB per level, rides ICI), making the sharded
-    plan EXACTLY equal to the single-device plan: window reductions use
-    the received halo rows in-band and the reduction identities
+    plan STRUCTURALLY equal to the single-device plan: window reductions
+    use the received halo rows in-band and the reduction identities
     (inf/False/True) at true image edges, which reproduces SAME-padding
-    truncation bitwise. The march itself is communication-free per ray.
+    truncation. The march itself is communication-free per ray.
+
+    Exactness caveat (measured): XLA's ray-setup math (sphere entry,
+    norms) differs at the 1-ULP level across batch SHAPES (a band vs the
+    full frame), and a 1-ulp seed wiggle can flip a secant branch — so
+    isolated rays (<0.5%) may land within ~2x depth_eps of the
+    single-device depth while classes/hit masks agree. See
+    tests/test_parallel_batched.py for the contract.
 
     Restrictions: H divisible by max(strides) * mesh[ray_axis] for every
     valid level. Returns (depth, hit, min_sdf), each [F, H*W].
