@@ -1,0 +1,31 @@
+#!/bin/bash
+# Patient single-client TPU waiter: one probe at a time, generous per-attempt
+# timeout, long sleeps between attempts (stale claims can wedge new clients;
+# probe sparingly per CLAUDE.md). On success, runs the round-3 measurement
+# batch sequentially and exits.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/tpu_meas}
+mkdir -p "$OUT"
+for attempt in 1 2 3 4 5 6; do
+  echo "[waiter] attempt $attempt: $(date +%H:%M:%S)" >> "$OUT/waiter.log"
+  timeout 600 python - <<'PY' >> "$OUT/waiter.log" 2>&1
+import time, jax
+t0 = time.time()
+d = jax.devices()
+import jax.numpy as jnp
+print("devices:", d, "after", round(time.time()-t0,1), "s")
+print("fetch:", float(jnp.sum(jnp.ones((128,128)))))
+PY
+  rc=$?
+  if [ $rc -eq 0 ]; then
+    echo "[waiter] TPU LIVE at $(date +%H:%M:%S); running batch" >> "$OUT/waiter.log"
+    bash scripts/run_tpu_measurements.sh "$OUT" >> "$OUT/batch.log" 2>&1
+    echo "[waiter] batch done rc=$? at $(date +%H:%M:%S)" >> "$OUT/waiter.log"
+    exit 0
+  fi
+  echo "[waiter] attempt $attempt failed rc=$rc; sleeping 480s" >> "$OUT/waiter.log"
+  sleep 480
+done
+echo "[waiter] giving up after 6 attempts" >> "$OUT/waiter.log"
+exit 1
