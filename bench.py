@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--naive", action="store_true",
                     help="disable c2f/compaction/folded-bf16 fast path")
-    ap.add_argument("--recompute", default="xla", choices=["xla", "pallas"],
+    ap.add_argument("--recompute", default="pallas", choices=["xla", "pallas"],
                     help="differentiable-recompute impl (GradConfig."
                          "recompute): 'pallas' = the fused VMEM-resident "
                          "kernel (ops/pallas/recompute.py)")

@@ -129,14 +129,17 @@ class GradConfig:
                               # kernels (fwd kernel VMEM at 512 lanes is
                               # ~14.8 MB of the 16 MB budget — drop to 256
                               # if a hardware lowering rejects it)
-    recompute: str = "xla"    # "xla": precise value + jvp denominator +
+    recompute: str = "pallas" # "xla": precise value + jvp denominator +
                               # normals vjp as separate XLA computations
                               # (each materializes [bucket, 512] activations
-                              # in HBM — bandwidth-bound). "pallas": ONE
-                              # fused kernel returns (value, denominator,
-                              # spatial gradient) with everything VMEM-
-                              # resident (ops/pallas/recompute.py); the
-                              # custom VJP runs a second fused kernel.
+                              # in HBM — bandwidth-bound). "pallas" (the
+                              # default since it was measured on v5e: fwd
+                              # 34.5 -> 29.8 ms, fwd+bwd 43.5 -> 34.4 ms at
+                              # 512^2, grad cos 1.0000): ONE fused kernel
+                              # returns (value, denominator, spatial
+                              # gradient) with everything VMEM-resident
+                              # (ops/pallas/recompute.py); the custom VJP
+                              # runs a second fused kernel.
                               # Caveats of "pallas": requires mode="ift" and
                               # autograd normals (normal_eps==0); normals
                               # come back VALUE-exact but stop-gradient (no

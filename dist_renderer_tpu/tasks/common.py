@@ -47,7 +47,7 @@ def add_common_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--latent-size", type=int, default=256)
     ap.add_argument("--fit-steps", type=int, default=1500,
                     help="training steps for the analytic-fallback decoder")
-    ap.add_argument("--recompute", default="xla", choices=["xla", "pallas"],
+    ap.add_argument("--recompute", default="pallas", choices=["xla", "pallas"],
                     help="differentiable-recompute impl on the --fast "
                          "path (GradConfig.recompute): 'pallas' = fused "
                          "VMEM-resident kernel, ops/pallas/recompute.py")

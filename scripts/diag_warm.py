@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--imgs", type=int, nargs="*", default=[256, 512])
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--refresh", type=int, default=8)
-    ap.add_argument("--recompute", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--recompute", default="pallas", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     dcfg = DecoderConfig()

@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--rim-only", action="store_true",
+                    help="only the default config + the alpha (rim-"
+                         "aggressiveness) candidates — each config is a "
+                         "fresh remote compile (10s-7min), so the full "
+                         "grid is too slow at --frames 64")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
@@ -79,12 +84,16 @@ def main():
     _, (d_ref, hit_ref, _) = timeit(ref_fn, lat_b, ob, vb, n=1)
 
     configs = []
-    for caps, lf in itertools.product(
-        [(4, 12), (4, 8), (3, 9), (4, 10), (2, 6, 14), (5, 14)],
-        [2, 3],
-    ):
+    if args.rim_only:
         configs.append(dict(strides=(16, 4), coarse_steps=16,
-                            round_caps=caps, live_frac=lf))
+                            round_caps=(4, 12), live_frac=3))
+    else:
+        for caps, lf in itertools.product(
+            [(4, 12), (4, 8), (3, 9), (4, 10), (2, 6, 14), (5, 14)],
+            [2, 3],
+        ):
+            configs.append(dict(strides=(16, 4), coarse_steps=16,
+                                round_caps=caps, live_frac=lf))
     # rim-aggressiveness sweep: creep evals on grazing rays scale ~1/alpha
     # (rim = 59% of fine evals); alpha > 1.5 widens the skippable-feature
     # band from 0.5f to (alpha-1)f, so the hit-agree guard below is the
