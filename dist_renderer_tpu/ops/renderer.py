@@ -374,28 +374,39 @@ def render_rays(
             # gradient).
             cheap_fn = getattr(sdf_fn, "cheap", sdf_fn)
 
+            # NOTE: every traced value the BACKWARD needs must enter as a
+            # custom_vjp ARGUMENT (here: v, for the sdg kernel's dirs
+            # operand) and ride the residuals. render() is itself jit'd
+            # with static (sdf_fn, cfg, factory), so its jaxpr — including
+            # this custom_vjp's bwd PYTHON CLOSURE — is cached across
+            # calls; a bwd that closed over `dirs` from the enclosing
+            # trace replayed a DEAD tracer when a later jit(grad(...))
+            # reused the cached jaxpr ("No constant handler for
+            # DynamicJaxprTracer" at cond lowering; hit by any
+            # eager-render-then-jit-fit sequence on the pallas path).
             @jax.custom_vjp
-            def lazy_margin(z, p, ms):
+            def lazy_margin(z, p, ms, v):
                 return ms
 
-            def _lm_fwd(z, p, ms):
-                return ms, (z, p)
+            def _lm_fwd(z, p, ms, v):
+                return ms, (z, p, v)
 
             def _lm_bwd(res, ct):
-                z, p = res
+                z, p, v = res
                 if use_sdg:
                     sdg_m = sdf_fn.sdg_builder(cfg.grad.recompute_block)
                     _, vjp = jax.vjp(
-                        lambda zz, pp: sdg_m(zz, pp, _sg(dirs))[0], z, p
+                        lambda zz, pp: sdg_m(zz, pp, v)[0], z, p
                     )
                 else:
                     _, vjp = jax.vjp(cheap_fn, z, p)
                 gz, gp = vjp(ct)
-                return gz, gp, jnp.zeros_like(ct)
+                return gz, gp, jnp.zeros_like(ct), jnp.zeros_like(v)
 
             lazy_margin.defvjp(_lm_fwd, _lm_bwd)
             p_anchor = origins + anchor[:, None] * dirs
-            margins = lazy_margin(latent, p_anchor, _sg(trace.min_sdf))
+            margins = lazy_margin(latent, p_anchor, _sg(trace.min_sdf),
+                                  _sg(dirs))
             # min_sdf stays a SEPARATE output: fusing it into the shared
             # scatter forced the custom_vjp to run with zero cotangents
             # under depth-only losses (measured fwd+bwd 43 -> 72 ms);
@@ -578,7 +589,7 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
 
             mf = PallasMarchFn(fold_latent(params, z, dcfg), dcfg, point_fn)
 
-            def trace_frame(origins, dirs, march, img_hw, interpret=False,
+            def trace_frame(origins, dirs, march, img_hw, interpret=None,
                             warm=None):
                 """Single-frame plan + march through the batched c2f
                 pipeline (F=1): multi-round re-binning + live-prefix
@@ -593,6 +604,12 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
                 non-differentiable by design, and the persistent kernel's
                 input_output_aliases has no JVP rule — a live tangent
                 reaching it is an error, not just waste."""
+                if interpret is None:
+                    # auto-select interpret off-TPU (same rule as the
+                    # recompute kernels) so CPU runs/tests exercise the
+                    # PRODUCTION trace_frame graph instead of silently
+                    # requiring use_pallas=False
+                    interpret = jax.default_backend() != "tpu"
                 origins = _sg(origins)
                 dirs = _sg(dirs)
                 if warm is not None:
