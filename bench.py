@@ -32,6 +32,12 @@ def main():
                     help="differentiable-recompute impl (GradConfig."
                          "recompute): 'pallas' = the fused VMEM-resident "
                          "kernel (ops/pallas/recompute.py)")
+    ap.add_argument("--no-proxy", action="store_true",
+                    help="march the FULL decoder instead of the distilled "
+                         "proxy (models/proxy.py; the proxy trace is "
+                         "verified by a full-decoder re-march in-pipeline)")
+    ap.add_argument("--proxy-width", type=int, default=256)
+    ap.add_argument("--proxy-depth", type=int, default=4)
     args = ap.parse_args()
 
     if args.cpu:
@@ -71,6 +77,35 @@ def main():
     params, bench_latent = get_or_fit_cached(cache, target, dcfg, steps=1500)
     fast = not args.naive
     on_tpu = (not args.cpu) and jax.devices()[0].platform != "cpu"
+
+    # distilled proxy march (models/proxy.py): the march hot loop runs a
+    # small distilled decoder; a full-decoder verify march re-derives
+    # depth + hit mask in-pipeline (render_batched_c2f proxy stage), so
+    # parity is unchanged. Cached next to the bench decoder for
+    # round-over-round comparability.
+    proxy = None
+    if fast and not args.no_proxy:
+        from dist_renderer_tpu.models.proxy import (
+            default_proxy_cfg, get_or_distill_cached,
+        )
+
+        pcache = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_proxy.npz"
+        )
+        if os.path.exists(pcache) or on_tpu:
+            pparams, pcfg = get_or_distill_cached(
+                pcache, params, dcfg, bench_latent[None],
+                proxy_cfg=default_proxy_cfg(
+                    dcfg, width=args.proxy_width, depth=args.proxy_depth
+                ),
+                steps=6000, latent_jitter=0.002,
+            )
+            proxy = (pparams, pcfg)
+        else:
+            # CPU smoke without a committed cache: a production-size
+            # distillation would dominate the run — march the full decoder
+            print("# proxy cache missing off-TPU; marching the full decoder",
+                  file=sys.stderr)
     march_kw = dict(convergence_eps=2e-3, depth_eps=5e-4,
                     c2f_strides=(16, 4), c2f_coarse_steps=16) if fast else {}
     cfg = RenderConfig(
@@ -94,7 +129,13 @@ def main():
     from dist_renderer_tpu.models.decoder import make_precise_sdf
 
     sdf_fn = make_precise_sdf(params, dcfg)
-    factory = make_march_factory(params, dcfg, cfg) if fast else None
+    factory = None
+    if fast:
+        factory = make_march_factory(
+            params, dcfg, cfg,
+            march_params=proxy[0] if proxy else None,
+            march_dcfg=proxy[1] if proxy else None,
+        )
 
     cam = Camera.looking_at((0.0, 0.0, -2.5), focal=img * 1.2, img_hw=(img, img))
     origins, dirs = pixel_rays(cam, img, img)
@@ -173,6 +214,9 @@ def main():
                 jnp.broadcast_to(o, (F,) + o.shape[1:]),
                 jnp.broadcast_to(v, (F,) + v.shape[1:]),
                 (img, img), cfg.march,
+                proxy=proxy,
+                proxy_backoff=cfg.march.proxy_backoff,
+                proxy_band=cfg.march.proxy_band,
                 shared_origin=True))  # pinhole: one origin per frame
             float(jnp.sum(fb(lat_b, ob, vb)[0]))
             t0 = time.perf_counter()

@@ -98,6 +98,16 @@ class MarchConfig:
                                     # packed to the queue WITHOUT marching
                                     # (pure scheduling — bit-identical; 0.5
                                     # measured best at 512^2 on v5e)
+    proxy_backoff: float = 0.015    # distilled-proxy march (models/proxy.py):
+                                    # the verify stage's full-decoder march
+                                    # seeds at (proxy depth - backoff); must
+                                    # exceed the proxy's surface displacement
+                                    # (proxy_error_report p99 + slack)
+    proxy_band: float = 0.02        # proxy-miss rays with margin below this
+                                    # get a full re-march (the hit/miss
+                                    # verdict band the proxy cannot decide);
+                                    # must exceed the proxy's near-surface
+                                    # error bound
 
 
 @dataclasses.dataclass(frozen=True)

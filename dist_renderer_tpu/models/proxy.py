@@ -1,0 +1,279 @@
+"""Distilled proxy decoder: a small latent-conditioned MLP that stands in
+for the full DeepSDF decoder in the NON-differentiable march hot loop.
+
+Why (round-4 throughput work; VERDICT r3 #1, docs/PERFORMANCE.md): the
+march runs ~3 full-decoder evals/ray, and at bf16 MXU peak that alone
+bounds one v5e at ~16 Mrays/s for the 8x512 architecture. Nothing in the
+renderer's gradient/accuracy contract requires marching with the FULL
+decoder:
+
+  - the march is stop-gradient by design (SURVEY.md §3.2) — gradients
+    flow only through the differentiable recompute, which STAYS on the
+    full decoder (ops/renderer.py::render_rays / ops/pallas/recompute.py);
+  - the bf16 march already tolerates |f| noise up to its convergence eps
+    (~2e-3), and the fp32 full-decoder Newton polish (polish_iters)
+    re-anchors converged depths to fp32 accuracy — a proxy whose
+    near-surface error is within the Newton basin costs nothing;
+  - a ~4x256 proxy is ~8-10x fewer FLOPs/eval, lifting the MXU-bound
+    single-chip ceiling toward the 50 Mrays/s north star.
+
+The proxy is a plain DeepSDF-architecture decoder (smaller dims) with the
+SAME latent size, so every existing fast path — latent folding
+(models/folded.py), the shared-weights + bias-bank batched kernels
+(ops/pallas/batched_march.py), the work-queue megakernel — works on it
+unchanged: it is just a second (params, DecoderConfig) pair.
+
+What can differ when marching with a proxy, and how it is handled:
+  - hit DEPTH: re-anchored by the full-decoder Newton composition
+    (render_rays polish; polish_depth_batched for the raw batched path).
+  - hit MASK: rays grazing within ~proxy-error of the surface can
+    classify differently. Tested empirically (tests/test_proxy.py):
+    disagreements must be confined to genuinely borderline rays (full
+    |min_sdf| within a small band).
+  - silhouette MARGINS: the min-SDF primal carries proxy error; the
+    gradient still comes from the full decoder (lazy margin vjp).
+
+Reference analog: none — the reference (core/sdfrenderer/renderer.py [R])
+always marches the full decoder; this is a TPU-first work-reduction layer
+on top of SURVEY.md §3.1's schedule.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dist_renderer_tpu.config import DecoderConfig
+from dist_renderer_tpu.models.decoder import (
+    Params,
+    decoder_apply,
+    init_decoder_params,
+)
+
+
+def default_proxy_cfg(
+    dcfg: DecoderConfig, width: int = 256, depth: int = 4
+) -> DecoderConfig:
+    """Proxy architecture: same latent size / output activations as the
+    full decoder (so latents and the folding machinery are shared), a
+    narrow straight-through trunk (no skip concat — at depth 4 it buys
+    nothing and costs a split layer in the kernels)."""
+    return DecoderConfig(
+        latent_size=dcfg.latent_size,
+        hidden_dims=(width,) * depth,
+        latent_in=(),
+        xyz_in_all=False,
+        use_tanh=dcfg.use_tanh,
+        final_tanh=dcfg.final_tanh,
+        clamp_dist=dcfg.clamp_dist,
+    )
+
+
+def _sample_batch(key, full_fn, z, batch: int, surface_frac: float,
+                  noise_scales: Tuple[float, ...]):
+    """Training points for one latent: uniform-in-ball + near-surface
+    shells at several noise scales (the march samples the SDF everywhere
+    along rays, but accuracy only matters near the zero set — seeds,
+    brackets, and hit classification all read |f| ~< a few eps there)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n_surf = int(batch * surface_frac)
+    n_unif = batch - n_surf
+    # uniform in a radius-1.1 ball (rays march slightly past the unit
+    # sphere: far_margin): cube rejection replaced by direction*radius^(1/3)
+    u = jax.random.normal(k1, (n_unif, 3))
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-9)
+    r = 1.1 * jax.random.uniform(k2, (n_unif, 1)) ** (1.0 / 3.0)
+    unif = u * r
+
+    # near-surface: project random interior points onto the full decoder's
+    # zero set by gradient descent on |f|, then jitter at each scale
+    p = jax.random.uniform(k3, (n_surf, 3), minval=-0.9, maxval=0.9)
+    g_fn = jax.grad(lambda q: jnp.sum(full_fn(z, q)))
+    for _ in range(5):
+        s = full_fn(z, p)
+        g = g_fn(p)
+        g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8)
+        p = p - s[:, None] * g
+    scales = jnp.asarray(noise_scales)
+    sc = scales[jax.random.randint(k4, (n_surf, 1), 0, len(noise_scales))]
+    p = p + sc * jax.random.normal(jax.random.fold_in(k4, 1), p.shape)
+    return jnp.concatenate([unif, p], axis=0)
+
+
+def distill_proxy(
+    params: Params,
+    dcfg: DecoderConfig,
+    latents: jax.Array,                 # [K, L] latent bank (K >= 1)
+    proxy_cfg: Optional[DecoderConfig] = None,
+    steps: int = 4000,
+    batch: int = 8192,
+    lr: float = 1e-3,
+    key: Optional[jax.Array] = None,
+    latent_jitter: float = 0.0,
+    surface_frac: float = 0.75,
+    noise_scales: Tuple[float, ...] = (0.05, 0.01, 2e-3),
+    near_weight: float = 3.0,
+    near_band: float = 0.02,
+) -> Tuple[Params, DecoderConfig]:
+    """Train a small proxy decoder to mimic the full decoder.
+
+    Targets are the full decoder's own outputs (split_x precision — the
+    crash-free fp32-accuracy path), so the proxy learns the LEARNED field
+    including its tanh clamping, not an idealized SDF. Near-surface
+    residuals (|target| < near_band) are up-weighted by `near_weight`:
+    that is where march convergence, bracketing, and hit classification
+    read the field.
+
+    latent_jitter: trains on z + jitter*N(0,I) so downstream per-frame
+    latent perturbations (e.g. bench.py's 1e-3 jitter) stay in-support.
+
+    The whole loop runs as ONE lax.scan jit (eager steps pay ~0.3-1.2 s
+    tunnel latency each on this deployment — CLAUDE.md).
+    """
+    pcfg = proxy_cfg or default_proxy_cfg(dcfg)
+    assert pcfg.latent_size == dcfg.latent_size, (
+        "proxy must share the full decoder's latent space"
+    )
+    key = key if key is not None else jax.random.PRNGKey(7)
+    k_init, key = jax.random.split(key)
+    proxy = init_decoder_params(k_init, pcfg)
+
+    lat_bank = jnp.atleast_2d(latents)
+    K = lat_bank.shape[0]
+
+    full_fn = lambda z, p: decoder_apply(params, z, p, dcfg,
+                                         precision="split_x")
+
+    # cosine decay to ~0: the tail of distillation is a fine-regression
+    # problem (sub-1e-3 residuals) that a flat Adam lr plateaus on
+    tx = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.01))
+    opt = tx.init(proxy)
+
+    def loss_fn(proxy, z, pts, tgt):
+        pred = decoder_apply(proxy, z, pts, pcfg, jnp.bfloat16)
+        w = 1.0 + near_weight * (jnp.abs(tgt) < near_band)
+        return jnp.sum(w * jnp.abs(pred - tgt)) / jnp.sum(w)
+
+    def step(carry, _):
+        proxy, opt, k = carry
+        k, kz, kj, kb = jax.random.split(k, 4)
+        z = lat_bank[jax.random.randint(kz, (), 0, K)]
+        if latent_jitter > 0.0:
+            z = z + latent_jitter * jax.random.normal(kj, z.shape)
+        pts = _sample_batch(kb, full_fn, z, batch, surface_frac,
+                            noise_scales)
+        tgt = full_fn(z, pts)
+        l, g = jax.value_and_grad(loss_fn)(proxy, z, pts, tgt)
+        upd, opt = tx.update(g, opt, proxy)
+        return (optax.apply_updates(proxy, upd), opt, k), l
+
+    @jax.jit
+    def train(proxy, opt, key):
+        (proxy, opt, _), losses = jax.lax.scan(
+            step, (proxy, opt, key), None, length=steps
+        )
+        return proxy, losses
+
+    proxy, _ = train(proxy, opt, key)
+    return proxy, pcfg
+
+
+def proxy_error_report(
+    params: Params,
+    dcfg: DecoderConfig,
+    proxy: Params,
+    pcfg: DecoderConfig,
+    latents: jax.Array,
+    key: Optional[jax.Array] = None,
+    n: int = 16384,
+    band: float = 0.02,
+) -> Dict[str, float]:
+    """Near-surface |proxy - full| quantiles over the latent bank — the
+    number that predicts march fidelity (hit-mask flips happen where the
+    error exceeds the distance to the zero set)."""
+    key = key if key is not None else jax.random.PRNGKey(3)
+    lat_bank = jnp.atleast_2d(latents)
+    full_fn = lambda z, p: decoder_apply(params, z, p, dcfg,
+                                         precision="split_x")
+
+    errs = []
+    for i in range(lat_bank.shape[0]):
+        z = lat_bank[i]
+        pts = _sample_batch(jax.random.fold_in(key, i), full_fn, z, n,
+                            1.0, (band, band / 4))
+        tgt = full_fn(z, pts)
+        pred = decoder_apply(proxy, z, pts, pcfg, jnp.bfloat16)
+        sel = jnp.abs(tgt) < band
+        errs.append(np.asarray(jnp.abs(pred - tgt)[sel]))
+    e = np.concatenate(errs)
+    return {
+        "p50": float(np.percentile(e, 50)),
+        "p95": float(np.percentile(e, 95)),
+        "p99": float(np.percentile(e, 99)),
+        "max": float(e.max()),
+        "n": int(e.size),
+    }
+
+
+def save_proxy_npz(path: str, proxy: Params, pcfg: DecoderConfig) -> None:
+    flat = {}
+    for i, lyr in enumerate(proxy["layers"]):
+        flat[f"w{i}"] = np.asarray(lyr["w"])
+        flat[f"b{i}"] = np.asarray(lyr["b"])
+    flat["hidden_dims"] = np.asarray(pcfg.hidden_dims, np.int64)
+    flat["latent_size"] = np.asarray(pcfg.latent_size, np.int64)
+    flat["latent_in"] = np.asarray(pcfg.latent_in, np.int64)
+    flat["flags"] = np.asarray(
+        [pcfg.use_tanh, pcfg.final_tanh, pcfg.xyz_in_all], np.int64
+    )
+    np.savez(path, **flat)
+
+
+def load_proxy_npz(path: str) -> Tuple[Params, DecoderConfig]:
+    data = np.load(path)
+    layers = []
+    i = 0
+    while f"w{i}" in data:
+        layers.append({"w": jnp.asarray(data[f"w{i}"]),
+                       "b": jnp.asarray(data[f"b{i}"])})
+        i += 1
+    flags = data["flags"]
+    pcfg = DecoderConfig(
+        latent_size=int(data["latent_size"]),
+        hidden_dims=tuple(int(d) for d in data["hidden_dims"]),
+        latent_in=tuple(int(d) for d in data["latent_in"]),
+        use_tanh=bool(flags[0]),
+        final_tanh=bool(flags[1]),
+        xyz_in_all=bool(flags[2]),
+    )
+    return {"layers": layers}, pcfg
+
+
+def get_or_distill_cached(
+    cache_path: str,
+    params: Params,
+    dcfg: DecoderConfig,
+    latents: jax.Array,
+    **kw,
+) -> Tuple[Params, DecoderConfig]:
+    """Load a distilled proxy from cache or distill and cache it."""
+    if os.path.exists(cache_path):
+        try:
+            return load_proxy_npz(cache_path)
+        except Exception as e:
+            warnings.warn(
+                f"proxy cache {cache_path} unreadable ({e!r}); re-distilling"
+            )
+    proxy, pcfg = distill_proxy(params, dcfg, latents, **kw)
+    try:
+        save_proxy_npz(cache_path, proxy, pcfg)
+    except OSError as e:
+        warnings.warn(f"could not write proxy cache {cache_path}: {e!r}")
+    return proxy, pcfg

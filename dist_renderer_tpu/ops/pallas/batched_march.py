@@ -802,6 +802,9 @@ def render_batched_c2f(
     queue_caps: Tuple[int, ...] = (6, 16),
     queue_dense_frac: float = 0.5,
     warm: Optional[Tuple[jax.Array, ...]] = None,
+    proxy: Optional[Tuple[Params, DecoderConfig]] = None,
+    proxy_backoff: float = 0.015,
+    proxy_band: float = 0.02,
 ) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
@@ -813,7 +816,27 @@ def render_batched_c2f(
     residency (max steps over the block's rays — what the block actually
     pays) and per-ray step counts for each phase. return_anchor=True
     appends depth_at_min (miss-ray margin anchors — what the single-frame
-    renderer needs to route its whole trace through this path)."""
+    renderer needs to route its whole trace through this path).
+
+    proxy: optional (params, DecoderConfig) of a DISTILLED proxy decoder
+    (models/proxy.py, ~8-10x fewer FLOPs/eval). When given, the whole
+    pyramid + classification + fine march above runs on the PROXY, and a
+    second VERIFY stage re-marches the full decoder from proxy-derived
+    seeds, so depth and the hit mask are genuine full-decoder march
+    results:
+
+      - proxy-HIT rays: seeded at (proxy depth - proxy_backoff) — an
+        interior-class short march (~3-5 full evals) exactly like a c2f
+        seed; correct whenever the proxy's surface displacement is under
+        proxy_backoff (choose it from models/proxy.proxy_error_report).
+      - proxy near-miss rays (margin < proxy_band) and unresolved rays:
+        full rim-class march (these are the only rays whose hit/miss
+        verdict the proxy cannot be trusted on).
+      - clear misses (margin >= proxy_band): skipped; their silhouette
+        margin keeps the proxy value (error <= proxy model error; the
+        margins that silhouette losses actually push on — the near-zero
+        ones — come from the full-decoder verify march).
+    """
     import dataclasses as _dc
 
     from dist_renderer_tpu.ops.c2f import classify_pyramid, plan_from_maps
@@ -823,15 +846,22 @@ def render_batched_c2f(
     n = h * w
     shared = pack_shared(params, dcfg)
     bank = fold_bias_bank(params, latents, dcfg, shared)
+    if proxy is not None:
+        pp, pc = proxy
+        shared_m = pack_shared(pp, pc)
+        bank_m = fold_bias_bank(pp, latents, pc, shared_m)
+    else:
+        shared_m, bank_m = shared, bank
     coarse_march = _dc.replace(
         march, max_steps=min(march.max_steps, coarse_steps)
     )
     diag = {}
 
     def trace_level(o_l, v_l, seed, active, stride):
-        """Coarse level through the multi-frame fused kernel."""
+        """Coarse level through the multi-frame fused kernel (the proxy
+        when one is given — classification is verified downstream)."""
         res = batched_trace_padded(
-            shared, bank, o_l, v_l, coarse_march, seed, active, block,
+            shared_m, bank_m, o_l, v_l, coarse_march, seed, active, block,
             interpret, True,
         )
         if with_diag:
@@ -892,51 +922,92 @@ def render_batched_c2f(
         # rounds scheduler wins batched throughput (sorts vectorize over
         # frames; the queue's chunk walk is sequential in F)
         scheduler = "queue" if f == 1 else "rounds"
-    if scheduler == "queue":
-        # ONE-launch work-queue march: no class sort, no repack sorts, no
-        # unsort — every telemetry field comes back free, in pixel order
-        from dist_renderer_tpu.ops.pallas.queue_march import queue_march
 
-        d, hit, msdf, dam, lastf, steps, unres = queue_march(
-            shared, bank, o_in, dirs, key, init_depth, march,
-            block=block, gen_caps=queue_caps,
-            dense_frac=queue_dense_frac, interpret=interpret,
+    verify = proxy is not None
+    need_anchor = return_anchor or verify
+    need_steps = return_steps or verify
+    need_last = return_last or verify
+
+    def fine_stage(sh, bk, key_s, seed_s, stage_diag):
+        """One scheduler pass; canonical 7-tuple in pixel order:
+        (d, hit, msdf, dam, lastf, steps, unres). Fields not requested by
+        the caller AND not needed by the verify merge come back as None
+        (they ride rounds-scheduler repack sorts as payloads)."""
+        if scheduler == "queue":
+            from dist_renderer_tpu.ops.pallas.queue_march import queue_march
+
+            d, hit, msdf, dam, lastf, steps, unres = queue_march(
+                sh, bk, o_in, dirs, key_s, seed_s, march,
+                block=block, gen_caps=queue_caps,
+                dense_frac=queue_dense_frac, interpret=interpret,
+            )
+            return d, hit, msdf, dam, lastf, steps.astype(jnp.int32), unres
+        fine = fine_march_rounds(
+            sh, bk, o_in, dirs, key_s, seed_s, march,
+            block=block, round_caps=round_caps, interpret=interpret,
+            diag=stage_diag, live_frac=live_frac,
+            return_anchor=need_anchor, return_steps=need_steps,
+            return_last=need_last,
         )
-        msdf = jnp.where(skip, margin, msdf)
-        out = (d, hit, msdf)
-        if return_anchor:
-            out = out + (jnp.where(skip, anchor, dam),)
-        if return_steps:
-            out = out + (steps.astype(jnp.int32),)
-        if return_last:
-            out = out + (jnp.where(skip, margin, lastf), unres & ~skip)
-        return out + ((diag,) if with_diag else ())
+        d, hit, msdf = fine[:3]
+        k = 3
+        dam = lastf = steps = unres = None
+        if need_anchor:
+            dam = fine[k]; k += 1
+        if need_steps:
+            steps = fine[k]; k += 1
+        if need_last:
+            lastf, unres = fine[k], fine[k + 1]
+        return d, hit, msdf, dam, lastf, steps, unres
 
-    fine = fine_march_rounds(
-        shared, bank, o_in, dirs, key, init_depth, march,
-        block=block, round_caps=round_caps, interpret=interpret,
-        diag=diag if with_diag else None, live_frac=live_frac,
-        return_anchor=return_anchor, return_steps=return_steps,
-        return_last=return_last,
+    d, hit, msdf, dam, lastf, steps, unres = fine_stage(
+        shared_m, bank_m, key, init_depth, diag if with_diag else None
     )
-    d, hit, msdf = fine[:3]
-    # skip rays never marched: their silhouette margin is the coarse one
+    # skip rays never marched: margin/anchor/last from the coarse level
     msdf = jnp.where(skip, margin, msdf)
+    if dam is not None:
+        dam = jnp.where(skip, anchor, dam)
+    if lastf is not None:
+        lastf = jnp.where(skip, margin, lastf)
+        unres = unres & ~skip
+
+    if verify:
+        # VERIFY stage: full-decoder march from proxy-derived seeds (see
+        # the docstring). Everything the caller consumes for non-skip
+        # rays is a genuine full-decoder march result after this.
+        hitish = hit | unres
+        seeded = hit & ~unres
+        band = (~hitish) & (msdf < proxy_band)
+        key2 = jnp.where(
+            seeded, 1, jnp.where(hitish | band, 0, 2)
+        ).astype(jnp.int32)
+        seed2 = jnp.where(
+            seeded, d - proxy_backoff,
+            jnp.where(unres, d, jnp.nan),     # band rays: sphere entry
+        )
+        vdiag = {} if with_diag else None
+        d2, hit2, msdf2, dam2, lastf2, steps2, unres2 = fine_stage(
+            shared, bank, key2, seed2, vdiag
+        )
+        if with_diag:
+            diag.update({f"verify_{k_}": v_ for k_, v_ in vdiag.items()})
+            diag["verify_key"] = key2
+        act2 = key2 != 2
+        d = jnp.where(act2, d2, d)
+        hit = jnp.where(act2, hit2, False)
+        msdf = jnp.where(act2, msdf2, msdf)
+        dam = jnp.where(act2, dam2, dam)
+        lastf = jnp.where(act2, lastf2, lastf)
+        steps = steps + jnp.where(act2, steps2, 0)
+        unres = jnp.where(act2, unres2, False)
+
     out = (d, hit, msdf)
-    k = 3
     if return_anchor:
-        # skip rays' margin anchor is the coarse min-SDF point
-        out = out + (jnp.where(skip, anchor, fine[k]),)
-        k += 1
+        out = out + (dam,)
     if return_steps:
-        out = out + (fine[k],)
-        k += 1
+        out = out + (steps,)
     if return_last:
-        # skip rays' true last SDF sample is the coarse min-SDF value at
-        # their anchor; they are classified (resolved) misses
-        lsdf = jnp.where(skip, margin, fine[k])
-        unres = fine[k + 1] & ~skip
-        out = out + (lsdf, unres)
+        out = out + (lastf, unres)
     return out + ((diag,) if with_diag else ())
 
 

@@ -174,6 +174,17 @@ def _dot(a, b):
     )
 
 
+def _dot_f32(a, b):
+    """Interpret-mode dot: the CPU backend's DotThunk rejects
+    bf16 x bf16 -> f32 at some shapes (ADVICE r3). bf16 values embed
+    exactly in f32, so casting first is numerically identical to the
+    MXU's bf16-input/f32-accumulate dot."""
+    return jax.lax.dot_general(
+        a.astype(jnp.float32), b.astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
 def _consume(meta: LayerMeta, refs, idx):
     """Pull one layer's operand refs in pack order."""
     d = {}
@@ -189,7 +200,7 @@ def _consume(meta: LayerMeta, refs, idx):
     return d, idx
 
 
-def _forward(meta, refs, biases, x8, use_tanh, final_tanh):
+def _forward(meta, refs, biases, x8, use_tanh, final_tanh, dot=_dot):
     """Precise forward pass. Returns (s [1,B] fp32, gates list, pre_last,
     per-layer operand dicts). Matches decoder_apply(precision='split_x'):
     bf16x3 on input-consuming matmuls, single bf16 pass on hidden ones,
@@ -209,15 +220,15 @@ def _forward(meta, refs, biases, x8, use_tanh, final_tanh):
             if m.split:
                 hi = h.astype(jnp.bfloat16)
                 lo = (h - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                acc = acc + _dot(d["whT"][:, :], hi)
-                acc = acc + _dot(d["whT_lo"][:, :], hi)
-                acc = acc + _dot(d["whT"][:, :], lo)
+                acc = acc + dot(d["whT"][:, :], hi)
+                acc = acc + dot(d["whT_lo"][:, :], hi)
+                acc = acc + dot(d["whT"][:, :], lo)
             else:
-                acc = acc + _dot(d["whT"][:, :], h.astype(jnp.bfloat16))
+                acc = acc + dot(d["whT"][:, :], h.astype(jnp.bfloat16))
         if m.has_wx:
-            acc = acc + _dot(d["wxT"][:, :], xi)
-            acc = acc + _dot(d["wxT_lo"][:, :], xi)
-            acc = acc + _dot(d["wxT"][:, :], xl)
+            acc = acc + dot(d["wxT"][:, :], xi)
+            acc = acc + dot(d["wxT_lo"][:, :], xi)
+            acc = acc + dot(d["wxT"][:, :], xl)
         if i < n_layers - 1:
             gates.append((acc > 0.0).astype(jnp.bfloat16))
             h = jnp.maximum(acc, 0.0)
@@ -249,7 +260,7 @@ def _seed_last(meta, pre_last, s, use_tanh, final_tanh, ct):
 
 
 def _reverse(meta, layer_ops, gates, delta, want_gx: bool,
-             want_u: bool):
+             want_u: bool, dot=_dot):
     """Reverse sweep from the last layer's preactivation gradient.
     Returns (gx [8,B] fp32 or None, u list of [out_p,1] per z-layer)."""
     gx = None
@@ -260,10 +271,10 @@ def _reverse(meta, layer_ops, gates, delta, want_gx: bool,
         if want_u and m.takes_z:
             us.append(jnp.sum(delta, axis=1, keepdims=True))
         if want_gx and m.has_wx:
-            c = _dot(d["wxN"][:, :], delta.astype(jnp.bfloat16))
+            c = dot(d["wxN"][:, :], delta.astype(jnp.bfloat16))
             gx = c if gx is None else gx + c
         if m.has_wh:
-            dh = _dot(d["whN"][:, :], delta.astype(jnp.bfloat16))
+            dh = dot(d["whN"][:, :], delta.astype(jnp.bfloat16))
             delta = dh * gates[i - 1].astype(jnp.float32)
         else:
             break
@@ -271,8 +282,10 @@ def _reverse(meta, layer_ops, gates, delta, want_gx: bool,
     return gx, us
 
 
-def _make_fwd_kernel(packed: PackedPrecise, n_bias: int):
+def _make_fwd_kernel(packed: PackedPrecise, n_bias: int,
+                     interpret: bool = False):
     meta = packed.meta
+    dot = _dot_f32 if interpret else _dot
 
     def kernel(pts_ref, dirs_ref, *refs):
         out_ref = refs[-1]
@@ -281,12 +294,14 @@ def _make_fwd_kernel(packed: PackedPrecise, n_bias: int):
         x8 = pts_ref[:, :]
         v8 = dirs_ref[:, :]
         s, gates, pre_last, layer_ops = _forward(
-            meta, w_refs, biases, x8, packed.use_tanh, packed.final_tanh
+            meta, w_refs, biases, x8, packed.use_tanh, packed.final_tanh,
+            dot=dot,
         )
         ones = jnp.ones_like(s)
         delta = _seed_last(meta, pre_last, s, packed.use_tanh,
                            packed.final_tanh, ones)
-        gx, _ = _reverse(meta, layer_ops, gates, delta, True, False)
+        gx, _ = _reverse(meta, layer_ops, gates, delta, True, False,
+                         dot=dot)
         dd = jnp.sum(gx[0:3, :] * v8[0:3, :], axis=0, keepdims=True)
         B = s.shape[1]
         out_ref[:, :] = jnp.concatenate(
@@ -298,7 +313,7 @@ def _make_fwd_kernel(packed: PackedPrecise, n_bias: int):
 
 def _make_bwd_kernel(packed: PackedPrecise, n_bias: int, u_rows: int,
                      seed_rows: int = 1, scalar_chain: bool = True,
-                     want_gx: bool = False):
+                     want_gx: bool = False, interpret: bool = False):
     """Cotangent-seeded reverse kernel. seed_rows: how many leading ct
     rows seed the last layer's preactivation gradient. scalar_chain=True
     applies the sdf tanh chain to a 1-row seed (the sdg path);
@@ -307,6 +322,7 @@ def _make_bwd_kernel(packed: PackedPrecise, n_bias: int, u_rows: int,
     activation derivative host-side). want_gx additionally emits the
     ct-weighted input-xyz gradient per ray as a second output."""
     meta = packed.meta
+    dot = _dot_f32 if interpret else _dot
 
     def kernel(pts_ref, ct_ref, *refs):
         if want_gx:
@@ -325,7 +341,8 @@ def _make_bwd_kernel(packed: PackedPrecise, n_bias: int, u_rows: int,
 
         x8 = pts_ref[:, :]
         s, gates, pre_last, layer_ops = _forward(
-            meta, w_refs, biases, x8, packed.use_tanh, packed.final_tanh
+            meta, w_refs, biases, x8, packed.use_tanh, packed.final_tanh,
+            dot=dot,
         )
         if scalar_chain:
             delta = _seed_last(meta, pre_last, s, packed.use_tanh,
@@ -343,7 +360,8 @@ def _make_bwd_kernel(packed: PackedPrecise, n_bias: int, u_rows: int,
                 else jnp.pad(ct8, ((0, meta[-1].out_p - ct8.shape[0]), (0, 0))),
                 0.0,
             )
-        gx, us = _reverse(meta, layer_ops, gates, delta, want_gx, True)
+        gx, us = _reverse(meta, layer_ops, gates, delta, want_gx, True,
+                          dot=dot)
         u = jnp.concatenate(us, axis=0)          # [u_rows, 1]
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == (i % 128)
@@ -382,7 +400,7 @@ def precise_sdg_call(
     vs = jnp.zeros((8, n_pad), jnp.float32)
     vs = vs.at[0:3, :n].set(dirs.T)
 
-    kernel = _make_fwd_kernel(packed, len(biases))
+    kernel = _make_fwd_kernel(packed, len(biases), interpret=interpret)
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // block,),
@@ -430,7 +448,8 @@ def precise_bias_grads_call(
     u_rows = sum(m.out_p for m in packed.meta if m.takes_z)
     kernel = _make_bwd_kernel(packed, len(biases), u_rows,
                               seed_rows=seed_rows,
-                              scalar_chain=scalar_chain, want_gx=want_gx)
+                              scalar_chain=scalar_chain, want_gx=want_gx,
+                              interpret=interpret)
     out_specs = [pl.BlockSpec((u_rows, 128), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)]
     out_shapes = [jax.ShapeDtypeStruct((u_rows, 128), jnp.float32)]

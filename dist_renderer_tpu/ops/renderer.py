@@ -219,8 +219,18 @@ def render_rays(
     # The fallback rides sdf_fn's plain `.cheap` sibling when present:
     # make_precise_sdf is a custom_vjp function, and forward-mode (the
     # jvp computing the IFT denominator) cannot differentiate those.
+    # EXCEPTION: a distilled-proxy march (march_fn.proxy_march — see
+    # make_march_factory) must NOT supply gradients: its spatial gradient
+    # carries percent-level model error (bad normals) and its slope at
+    # the proxy surface can be arbitrarily shallow where the full field's
+    # is not, which poisons the frozen-denominator Newton polish
+    # (measured: 0.46 depth excursions on rim rays). The proxy marches;
+    # the FULL decoder supplies every derivative.
     _base = getattr(sdf_fn, "cheap", sdf_fn)
-    g_fn = march_fn if march_fn is not None else (
+    use_march_g = march_fn is not None and not getattr(
+        march_fn, "proxy_march", False
+    )
+    g_fn = march_fn if use_march_g else (
         lambda p: _base(_sg(latent), p)
     )
 
@@ -571,23 +581,50 @@ def render(
     )
 
 
-def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
+def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig,
+                       march_params=None, march_dcfg=None):
     """Build the (latent,) -> march point-fn factory for the hot loop:
     latent-folded bf16/fp32 decoder, wrapped for the fused Pallas kernel
-    when cfg.use_pallas."""
+    when cfg.use_pallas.
+
+    march_params/march_dcfg: optional DISTILLED PROXY decoder for the
+    march (models/proxy.py — ~8-10x fewer FLOPs/eval). The march is
+    stop-gradient by design, so this changes no gradient path; the
+    differentiable recompute stays on the caller's full `sdf_fn`. On the
+    Pallas trace_frame path the proxy trace is VERIFIED: a second short
+    full-decoder march re-derives depth and the hit mask from
+    proxy-derived seeds (render_batched_c2f's proxy stage). On the plain
+    paths the proxy marches alone — use GradConfig.polish_iters >= 2 so
+    the full-decoder Newton in compose() re-anchors depth (grazing rays
+    can keep a proxy-sized error tail there; the production path does
+    not). Both decoders must share the latent space (the same z folds
+    into either's biases)."""
     from dist_renderer_tpu.models.folded import fold_latent, make_point_fn
 
     dtype = cfg.dtype
+    is_proxy = march_params is not None
+    mparams = march_params if is_proxy else params
+    mdcfg = (march_dcfg if march_dcfg is not None else dcfg) if is_proxy \
+        else dcfg
 
     def factory(z):
-        point_fn = make_point_fn(params, z, dcfg, dtype)
+        point_fn = make_point_fn(mparams, z, mdcfg, dtype)
+        # render_rays reads this: a proxy march must not supply the IFT
+        # denominator or normals (see the g_fn selection there)
+        point_fn.proxy_march = is_proxy
         if cfg.use_pallas:
             from dist_renderer_tpu.ops.pallas.batched_march import (
                 render_batched_c2f,
             )
             from dist_renderer_tpu.ops.pallas.fused_march import PallasMarchFn
 
-            mf = PallasMarchFn(fold_latent(params, z, dcfg), dcfg, point_fn)
+            mf = PallasMarchFn(fold_latent(mparams, z, mdcfg), mdcfg,
+                               point_fn)
+            # trace_frame verifies the proxy trace against the full
+            # decoder in-pipeline, so its TraceResult needs no special
+            # handling downstream; the spatial-gradient exclusion
+            # (proxy_march) still applies to point_fn uses
+            mf.proxy_march = is_proxy
 
             def trace_frame(origins, dirs, march, img_hw, interpret=None,
                             warm=None):
@@ -625,6 +662,9 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig):
                     scheduler=march.scheduler, queue_caps=march.queue_caps,
                     queue_dense_frac=march.queue_dense_frac,
                     warm=warm,
+                    proxy=(mparams, mdcfg) if is_proxy else None,
+                    proxy_backoff=march.proxy_backoff,
+                    proxy_band=march.proxy_band,
                     interpret=interpret,
                 )
                 from dist_renderer_tpu.ops.tracer import (

@@ -100,6 +100,13 @@ def main():
             both = hit_np & ref[1]
             dmax = float(np.abs(d_np - ref[0])[both].max()) if both.any() else 0.0
             tag = f"hit-agree={agree:.5f} max|dd|={dmax:.2e}"
+            if agree != 1.0 or dmax != 0.0:
+                print(f"caps={caps}: fwd {t_fwd*1e3:7.2f} ms   {tag}",
+                      flush=True)
+                print("FAIL: bit-identity guard tripped — caps changed the "
+                      "march result (schedule-dependence regression)",
+                      flush=True)
+                sys.exit(1)
         print(f"caps={caps}: fwd {t_fwd*1e3:7.2f} ms   {tag}", flush=True)
 
 

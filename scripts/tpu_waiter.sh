@@ -9,7 +9,10 @@ OUT=${1:-/tmp/tpu_meas}
 mkdir -p "$OUT"
 for attempt in 1 2 3 4 5 6; do
   echo "[waiter] attempt $attempt: $(date +%H:%M:%S)" >> "$OUT/waiter.log"
-  timeout 600 python - <<'PY' >> "$OUT/waiter.log" 2>&1
+  # -k 15: wedged TPU clients sit in futex wait and survive SIGTERM
+  # (CLAUDE.md); escalate to SIGKILL so a dead probe can't linger and
+  # overlap the next attempt (one-client rule).
+  timeout -k 15 600 python - <<'PY' >> "$OUT/waiter.log" 2>&1 &
 import time, jax
 t0 = time.time()
 d = jax.devices()
@@ -17,7 +20,15 @@ import jax.numpy as jnp
 print("devices:", d, "after", round(time.time()-t0,1), "s")
 print("fetch:", float(jnp.sum(jnp.ones((128,128)))))
 PY
+  PROBE_PID=$!
+  wait "$PROBE_PID"
   rc=$?
+  # Belt and braces: make sure the probe is really gone before anything
+  # else touches the TPU (stacked clients wedge the backend).
+  if kill -0 "$PROBE_PID" 2>/dev/null; then
+    kill -9 "$PROBE_PID" 2>/dev/null
+    sleep 5
+  fi
   if [ $rc -eq 0 ]; then
     echo "[waiter] TPU LIVE at $(date +%H:%M:%S); running batch" >> "$OUT/waiter.log"
     bash scripts/run_tpu_measurements.sh "$OUT" >> "$OUT/batch.log" 2>&1
