@@ -39,6 +39,10 @@ class DepthObservation(NamedTuple):
     mask: np.ndarray         # [H, W] bool silhouette
     camera: Camera
     name: str
+    latent: Optional[np.ndarray] = None   # known-shape latent (config #4:
+                                          # pose estimation freezes the
+                                          # shape; DeepSDF experiment dirs
+                                          # ship LatentCodes the same way)
 
 
 class MultiViewObservation(NamedTuple):
@@ -65,6 +69,7 @@ class ShapeNetDepthDataset:
         <root>/<instance>/mask.png|npy      silhouette
         <root>/<instance>/camera.json       {"K": 3x3, "R": 3x3, "T": 3}
         <root>/<instance>/normalization.npz offset+scale (optional)
+        <root>/<instance>/latent.npy        known-shape latent (optional)
     """
 
     def __init__(self, root: str):
@@ -109,7 +114,9 @@ class ShapeNetDepthDataset:
                 R=camera.R,
                 T=(camera.T + camera.R @ jnp.asarray(offset)) * scale,
             )
-        return DepthObservation(depth, depth > 0, mask, camera, inst)
+        lat_p = os.path.join(d, "latent.npy")
+        latent = np.load(lat_p) if os.path.exists(lat_p) else None
+        return DepthObservation(depth, depth > 0, mask, camera, inst, latent)
 
 
 class PMOMultiViewDataset:

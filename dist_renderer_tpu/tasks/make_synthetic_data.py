@@ -58,6 +58,10 @@ def main(argv=None):
         np.save(os.path.join(d_dir, "depth.npy"),
                 np.asarray(out.depth, np.float32))
         np.save(os.path.join(d_dir, "mask.npy"), np.asarray(out.mask))
+        # known-shape latent (pose estimation — config #4 — freezes the
+        # shape; mirrors DeepSDF experiment dirs shipping LatentCodes)
+        np.save(os.path.join(d_dir, "latent.npy"),
+                np.asarray(z, np.float32))
         with open(os.path.join(d_dir, "camera.json"), "w") as f:
             json.dump({
                 "K": np.asarray(cam.K).tolist(),

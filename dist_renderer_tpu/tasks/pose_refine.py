@@ -36,6 +36,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     add_common_args(ap)
     ap.add_argument("--param", default="so3", choices=["so3", "rot6d"])
+    ap.add_argument("--data", default=None,
+                    help="ShapeNet-depth dataset root: the observed depth/"
+                    "mask/camera come from disk (SURVEY.md §3.5 starts "
+                    "from an observed image; config #4 assumes the shape "
+                    "is known, so the task decoder's latent must match "
+                    "the observed instance — e.g. a make_synthetic_data "
+                    "layout generated from the same decoder)")
+    ap.add_argument("--instance", type=int, default=0,
+                    help="dataset instance index (with --data)")
     ap.add_argument("--rot-err-deg", type=float, default=10.0,
                     help="initial rotation perturbation")
     ap.add_argument("--trans-err", type=float, default=0.1)
@@ -53,18 +62,43 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     params, latent, dcfg = load_task_decoder(args)
-    cfg = make_render_cfg(args)
     from dist_renderer_tpu.models.decoder import make_precise_sdf
-    sdf_fn = make_precise_sdf(params, dcfg)
-    march_fn = make_point_fn(params, latent, dcfg, cfg.dtype)
 
-    # ground-truth camera and observation
-    cam_gt = default_camera(args.img)
-    o, v = pixel_rays(cam_gt, args.img, args.img)
-    gt = render_rays(sdf_fn, latent, o, v, cfg, march_fn)
+    if args.data:
+        # real observed data through the REAL loader: the hidden GT pose
+        # is the dataset camera; the optimizer only ever sees its
+        # perturbation + the observed depth/mask images
+        from dist_renderer_tpu.data.datasets import ShapeNetDepthDataset
+
+        obs = ShapeNetDepthDataset(args.data)[args.instance]
+        h, w = obs.depth.shape
+        assert h == w, "pose_refine assumes square images"
+        args.img = h
+        cfg = make_render_cfg(args)
+        sdf_fn = make_precise_sdf(params, dcfg)
+        if obs.latent is not None:
+            # the dataset ships the instance's known-shape latent
+            # (config #4 freezes the shape)
+            latent = jnp.asarray(obs.latent)
+        march_fn = make_point_fn(params, latent, dcfg, cfg.dtype)
+        cam_gt = obs.camera
+        obs_depth = jnp.asarray(obs.depth).reshape(-1)
+        obs_valid = jnp.asarray(obs.valid).reshape(-1)
+        obs_mask = jnp.asarray(obs.mask).reshape(-1)
+        print(f"observation: {obs.name} ({h}x{w}, "
+              f"{int(obs_valid.sum())} valid depth px) from {args.data}")
+    else:
+        cfg = make_render_cfg(args)
+        sdf_fn = make_precise_sdf(params, dcfg)
+        march_fn = make_point_fn(params, latent, dcfg, cfg.dtype)
+        # synthesize the ground-truth camera and observation
+        cam_gt = default_camera(args.img)
+        o, v = pixel_rays(cam_gt, args.img, args.img)
+        gt = render_rays(sdf_fn, latent, o, v, cfg, march_fn)
+        obs_depth = gt.depth
+        obs_valid = gt.mask
+        obs_mask = gt.mask
     hw = (args.img, args.img)
-    obs_depth = gt.depth
-    obs_mask = gt.mask
 
     # perturb the pose
     key = jax.random.PRNGKey(3)
@@ -80,7 +114,7 @@ def main(argv=None):
     logger = MetricsLogger(os.path.join(args.out, "metrics.csv"))
 
     def _obj(out):
-        ld = L.depth_loss(out.depth, obs_depth, obs_mask, out.mask)
+        ld = L.depth_loss(out.depth, obs_depth, obs_valid, out.mask)
         ls = L.silhouette_loss(out.min_sdf, obs_mask)
         total = args.w_depth * ld + args.w_sil * ls
         return total, {"depth": ld, "sil": ls}

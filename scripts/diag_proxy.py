@@ -1,0 +1,117 @@
+"""Diagnose the proxy-march + verify-stage pipeline on the real TPU.
+
+Prints, for proxy vs full at 512^2:
+  - plan-key fractions (rim/interior/skip) from the (proxy) pyramid
+  - verify-key fractions (seeded-hit / re-march / skip)
+  - per-stage step-count sums (what the kernels actually pay)
+  - hit counts + stage timings
+
+  python scripts/diag_proxy.py [--img 512] [--frames 1]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--scheduler", default="auto")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dist_renderer_tpu.config import DecoderConfig, MarchConfig
+    from dist_renderer_tpu.models.pretrain import load_params_npz
+    from dist_renderer_tpu.models.proxy import load_proxy_npz
+    from dist_renderer_tpu.ops.camera import Camera, pixel_rays
+    from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
+
+    dcfg = DecoderConfig()
+    params, z0 = load_params_npz("/root/repo/.bench_decoder.npz")
+    proxy, pcfg = load_proxy_npz("/root/repo/.bench_proxy.npz")
+
+    img, F = args.img, args.frames
+    cam = Camera.looking_at((0.0, 0.0, -2.5), focal=img * 1.2,
+                            img_hw=(img, img))
+    o, v = pixel_rays(cam, img, img)
+    lat = jnp.stack([z0] * F) + 0.001 * jax.random.normal(
+        jax.random.PRNGKey(9), (F, dcfg.latent_size))
+    ob = jnp.broadcast_to(o[None], (1,) + o.shape)
+    vb = jnp.broadcast_to(v[None], (1,) + v.shape)
+    march = MarchConfig(
+        max_steps=50, convergence_eps=2e-3, depth_eps=5e-4,
+        coarse_to_fine=True, c2f_strides=(16, 4), c2f_coarse_steps=16,
+        scheduler=args.scheduler,
+    )
+    interp = jax.default_backend() != "tpu"
+
+    def run(tag, proxy_arg):
+        fn = jax.jit(lambda l, o_, v_: render_batched_c2f(
+            params, dcfg, l,
+            jnp.broadcast_to(o_, (F,) + o_.shape[1:]),
+            jnp.broadcast_to(v_, (F,) + v_.shape[1:]),
+            (img, img), march, strides=(16, 4), coarse_steps=16,
+            shared_origin=True, return_steps=True, return_last=True,
+            proxy=proxy_arg, scheduler=args.scheduler,
+            interpret=interp,
+        ))
+        out = fn(lat, ob, vb)
+        float(jnp.sum(out[0]))  # arm the sync
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fn(lat, ob, vb)
+        jax.block_until_ready(out[0])
+        float(jnp.sum(out[0]))
+        dt = (time.perf_counter() - t0) / 3 / F
+        d, hit, msdf, steps, lastf, unres = out[:6]
+        hit = np.asarray(hit)
+        steps = np.asarray(steps)
+        print(f"[{tag}] {dt*1e3:8.2f} ms/frame  hits={hit.sum()/F:.0f}  "
+              f"unres={np.asarray(unres).sum()/F:.0f}  "
+              f"steps sum/frame={steps.sum()/F:.0f} "
+              f"mean={steps.mean():.2f} p99={np.percentile(steps,99):.0f}",
+              flush=True)
+        return out
+
+    # diag pass (JIT'D — eager ops pay ~1 s tunnel latency each):
+    # plan + verify key fractions, per-stage residency
+    diag_fn = jax.jit(lambda l, o_, v_: render_batched_c2f(
+        params, dcfg, l,
+        jnp.broadcast_to(o_, (F,) + o.shape),
+        jnp.broadcast_to(v_, (F,) + v.shape),
+        (img, img), march, strides=(16, 4), coarse_steps=16,
+        shared_origin=True, with_diag=True, proxy=(proxy, pcfg),
+        scheduler="rounds", interpret=interp,
+    )[-1])
+    diag = diag_fn(lat, ob, vb)
+    pk = np.asarray(diag["plan_key"])
+    n = pk.size
+    print(f"plan key (proxy pyramid): rim={np.mean(pk==0):.3f} "
+          f"interior={np.mean(pk==1):.3f} skip={np.mean(pk==2):.3f}")
+    vk = np.asarray(diag["verify_key"])
+    print(f"verify key: re-march(band/unres)={np.mean(vk==0):.4f} "
+          f"seeded-hit={np.mean(vk==1):.4f} skip={np.mean(vk==2):.4f}")
+    for k_ in sorted(diag):
+        if k_.endswith("block_residency"):
+            r = np.asarray(diag[k_])
+            print(f"  {k_}: blocks={r.size} residency sum={r.sum():.0f}")
+
+    run("full ", None)
+    run("proxy", (proxy, pcfg))
+
+
+if __name__ == "__main__":
+    main()

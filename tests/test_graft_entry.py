@@ -16,13 +16,20 @@ def _load():
 
 
 def test_entry_compiles_and_runs():
+    import numpy as np
+
     ge = _load()
-    fn, args = ge.entry()
-    out = jax.jit(fn)(*args)
+    fn, args = ge.entry(img=64)   # driver default is 128; 64 keeps the
+    out = jax.jit(fn)(*args)      # interpret-mode CPU check fast
     depth, normal, min_sdf = out
-    n = depth.shape[0]
-    assert normal.shape == (n, 3)
-    assert min_sdf.shape == (n,)
+    hw = depth.shape
+    assert normal.shape == hw + (3,)
+    assert min_sdf.shape == hw
+    # the production engine on the bench fixture must actually render
+    # the shape (a broken fast path returning all-background would still
+    # have the right shapes)
+    hits = np.isfinite(np.asarray(depth)) & (np.asarray(depth) > 0)
+    assert hits.sum() > 0.05 * depth.size
 
 
 def test_dryrun_multichip_eight():

@@ -67,6 +67,24 @@ def test_depth_completion_from_disk(tmp_path):
     assert h[-1] < 0.7 * h[1:].max()
 
 
+def test_pose_refine_from_disk(tmp_path):
+    """Config #4 from an on-disk observation (VERDICT r3 item 7): the
+    observed depth/mask/camera are read through the real loader; the
+    optimizer recovers the dataset camera from a perturbed initial pose."""
+    from dist_renderer_tpu.tasks.pose_refine import main
+
+    root = _make(tmp_path)
+    res, rot_err, t_err = main(TINY + [
+        "--data", os.path.join(root, "depth"), "--instance", "0",
+        "--out", str(tmp_path / "out"), "--steps", "120", "--lr", "3e-2",
+        "--rot-err-deg", "8.0", "--trans-err", "0.05",
+    ])
+    h = np.asarray(res.loss_history)
+    assert np.isfinite(h).all()
+    assert rot_err < 4.0, f"rotation not recovered: {rot_err:.2f} deg"
+    assert t_err < 0.05, f"translation not recovered: {t_err:.3f}"
+
+
 def test_multiview_from_disk(tmp_path):
     from dist_renderer_tpu.tasks.multiview import main
 
