@@ -124,12 +124,26 @@ def classify_pyramid(
         # and looser coarse depth poisons tight seeds)
         rng = dmax - dmin
         bo = jnp.where(rng < backoff, 0.2 * backoff, backoff)
+        # margin/anchor come from the last level at which a ray was
+        # ACTIVELY marched: a level-skipped ray's tracer output is the
+        # inactive-ray sentinel (the geometric bounding-sphere margin —
+        # NEGATIVE for any ray whose line crosses the sphere), not a
+        # field sample. Taking the last level unconditionally handed
+        # every deep-background ray a bogus near-zero/negative margin;
+        # the proxy verify stage's near-miss band test (and silhouette
+        # losses reading skip-ray margins) need the real coarse min-SDF.
+        new_anchor = up(res.depth_at_min.reshape(f, hh, ww))
+        new_margin = up(res.min_sdf.reshape(f, hh, ww))
+        if maps is not None:
+            act_up = up(active.reshape(f, hh, ww))
+            new_anchor = jnp.where(act_up, new_anchor, maps.anchor)
+            new_margin = jnp.where(act_up, new_margin, maps.margin)
         maps = C2FMaps(
             seed=jnp.where(jnp.isfinite(up(dmin)), up(dmin) - up(bo), jnp.nan),
             hit_any=up(hit_any),
             hit_all=up(hit_all),
-            anchor=up(res.depth_at_min.reshape(f, hh, ww)),
-            margin=up(res.min_sdf.reshape(f, hh, ww)),
+            anchor=new_anchor,
+            margin=new_margin,
             width=up(jnp.where(jnp.isfinite(rng), rng, jnp.inf)),
         )
     return maps
