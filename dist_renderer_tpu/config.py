@@ -98,16 +98,25 @@ class MarchConfig:
                                     # packed to the queue WITHOUT marching
                                     # (pure scheduling — bit-identical; 0.5
                                     # measured best at 512^2 on v5e)
-    proxy_backoff: float = 0.015    # distilled-proxy march (models/proxy.py):
+    proxy_backoff: float = 0.005    # distilled-proxy march (models/proxy.py):
                                     # the verify stage's full-decoder march
-                                    # seeds at (proxy depth - backoff); must
-                                    # exceed the proxy's surface displacement
-                                    # (proxy_error_report p99 + slack)
-    proxy_band: float = 0.02        # proxy-miss rays with margin below this
+                                    # seeds at (proxy depth - backoff). Tie
+                                    # this to proxy_error_report p99 (bench
+                                    # proxy: 5.1e-3) — every extra retreat
+                                    # adds ~1 forward step to EVERY seeded
+                                    # block (0.015 measured 4.7 steps of
+                                    # block residency vs ~2 at 0.005), but
+                                    # zero breaks demoted-false-hit margin
+                                    # sampling (ops/pallas/batched_march.py
+                                    # verify docstring)
+    proxy_band: float = 0.012       # proxy-miss rays with margin below this
                                     # get a full re-march (the hit/miss
                                     # verdict band the proxy cannot decide);
                                     # must exceed the proxy's near-surface
-                                    # error bound
+                                    # error MAX (bench proxy: 7.3e-3) + the
+                                    # march eps — NOT a generic safety factor:
+                                    # band re-marches are the dominant verify
+                                    # cost and scale linearly with this
 
 
 @dataclasses.dataclass(frozen=True)

@@ -804,7 +804,7 @@ def render_batched_c2f(
     warm: Optional[Tuple[jax.Array, ...]] = None,
     proxy: Optional[Tuple[Params, DecoderConfig]] = None,
     proxy_backoff: float = 0.015,
-    proxy_band: float = 0.02,
+    proxy_band: float = 0.012,
 ) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
@@ -825,13 +825,28 @@ def render_batched_c2f(
     seeds, so depth and the hit mask are genuine full-decoder march
     results:
 
-      - proxy-HIT rays: seeded at (proxy depth - proxy_backoff) — an
-        interior-class short march (~3-5 full evals) exactly like a c2f
-        seed; correct whenever the proxy's surface displacement is under
-        proxy_backoff (choose it from models/proxy.proxy_error_report).
+      - proxy-HIT rays: seeded at (proxy depth - proxy_backoff), a ~2
+        eval confirmation in the march kernel; the bracket-secant march
+        is the automatic fallback when the full field disagrees.
+        proxy_backoff must be ~the proxy error p99, NOT larger: every
+        extra retreat adds forward steps (0.015 measured ~4.7 steps of
+        block residency per seeded block vs ~2 at 0.005). It must also
+        not be ZERO: a false proxy hit seeded exactly at its claimed
+        depth marches forward only and never samples the true field dip
+        just behind the seed, so its demoted-miss margin is garbage
+        (measured: a 4.0e-3 margin read back as 9.7e-3, past the 5e-3
+        band-margin fidelity contract in tests/test_proxy.py).
       - proxy near-miss rays (margin < proxy_band) and unresolved rays:
         full rim-class march (these are the only rays whose hit/miss
-        verdict the proxy cannot be trusted on).
+        verdict the proxy cannot be trusted on). Band rays seed at
+        sphere entry: window-seeding at (proxy argmin - w) was tried and
+        REJECTED — the march enters the dip with a large field value, so
+        its first aggressive step leapfrogs the minimum and the recorded
+        margin lands wherever sampling luck puts it (measured: a 4.0e-3
+        margin read back as 9.7e-3, past the 5e-3 band-margin fidelity
+        contract in tests/test_proxy.py). The entry seed reproduces the
+        full pipeline's own sampling pattern; band cost is controlled by
+        proxy_band (tied to the proxy's measured error max) instead.
       - clear misses (margin >= proxy_band): skipped; their silhouette
         margin keeps the proxy value (error <= proxy model error; the
         margins that silhouette losses actually push on — the near-zero
@@ -982,7 +997,7 @@ def render_batched_c2f(
             seeded, 1, jnp.where(hitish | band, 0, 2)
         ).astype(jnp.int32)
         seed2 = jnp.where(
-            seeded, d - proxy_backoff,
+            seeded, d - proxy_backoff,        # ~2-eval hit confirmation
             jnp.where(unres, d, jnp.nan),     # band rays: sphere entry
         )
         vdiag = {} if with_diag else None

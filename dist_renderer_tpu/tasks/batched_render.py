@@ -36,6 +36,15 @@ def main(argv=None):
     ap.add_argument("--latent-noise", type=float, default=0.05)
     ap.add_argument("--pallas", action="store_true",
                     help="use the multi-frame fused kernel (TPU)")
+    ap.add_argument("--stream", action="store_true",
+                    help="config-#5 stretch scale: per-chunk on-device "
+                         "summary reduction instead of materializing every "
+                         "depth map (1k latents x 16 views at 512^2 is "
+                         "16.8 GB of depth — past single-chip HBM)")
+    ap.add_argument("--proxy", default=None,
+                    help="path to a distilled proxy npz (models/proxy.py); "
+                         "the march runs the proxy, a full-decoder verify "
+                         "re-derives depth + hit in-pipeline")
     args = ap.parse_args(argv)
 
     params, base_latent, dcfg = load_task_decoder(args)
@@ -68,10 +77,19 @@ def main(argv=None):
         from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
 
         n_frames = args.latents * args.views
-        chunk = min(128, n_frames)
-        while n_frames % chunk:
-            chunk -= 1
+        # chunk must be a multiple of views: each chunk's frame i pairs
+        # with view (i % views), so a chunk that straddles a latent
+        # boundary mid-ring would pair frames with the WRONG cameras
+        chunk = min(128 - 128 % args.views if args.views <= 128
+                    else args.views, n_frames)
+        while chunk > args.views and n_frames % chunk:
+            chunk -= args.views
         reps = (chunk + args.views - 1) // args.views
+
+        proxy = None
+        if args.proxy:
+            from dist_renderer_tpu.models.proxy import load_proxy_npz
+            proxy = load_proxy_npz(args.proxy)
 
         # rays enter as ARGUMENTS and tile on device: baking the tiled
         # [chunk, N, 3] arrays into the graph as constants blows the
@@ -82,19 +100,41 @@ def main(argv=None):
             v_chunk = jnp.tile(v_views, (reps, 1, 1))[:chunk]
             return render_batched_c2f(
                 params, dcfg, lat_f, o_chunk, v_chunk,
-                (args.img, args.img), cfg.march,
+                (args.img, args.img), cfg.march, proxy=proxy,
+                interpret=jax.default_backend() != "tpu",
             )[:2]
 
-        def render_batch(latents):
-            lat_frames = jnp.repeat(latents, args.views, axis=0)
-            ds, hs = [], []
-            for s in range(0, n_frames, chunk):
-                d, h = render_chunk(lat_frames[s:s + chunk], origins, dirs)
-                ds.append(d)
-                hs.append(h)
-            d = jnp.concatenate(ds).reshape(args.latents, args.views, -1)
-            h = jnp.concatenate(hs).reshape(args.latents, args.views, -1)
-            return d, h
+        if args.stream:
+            # summary reduction per chunk (hit count + masked depth sum —
+            # enough to prove every ray was rendered and sane) instead of
+            # 16.8 GB of depth maps at the 1k x 16 x 512^2 stretch scale
+            @jax.jit
+            def render_chunk_summary(lat_f, o_views, v_views):
+                d, h = render_chunk(lat_f, o_views, v_views)
+                return (jnp.sum(jnp.where(h, d, 0.0)),
+                        jnp.sum(h.astype(jnp.int32)))
+
+            def render_batch(latents):
+                lat_frames = jnp.repeat(latents, args.views, axis=0)
+                dsum = 0.0
+                hits = 0
+                for s in range(0, n_frames, chunk):
+                    ds, hs = render_chunk_summary(
+                        lat_frames[s:s + chunk], origins, dirs)
+                    dsum += float(ds)     # device->host fetch: real sync
+                    hits += int(hs)
+                return dsum, hits
+        else:
+            def render_batch(latents):
+                lat_frames = jnp.repeat(latents, args.views, axis=0)
+                ds, hs = [], []
+                for s in range(0, n_frames, chunk):
+                    d, h = render_chunk(lat_frames[s:s + chunk], origins, dirs)
+                    ds.append(d)
+                    hs.append(h)
+                d = jnp.concatenate(ds).reshape(args.latents, args.views, -1)
+                h = jnp.concatenate(hs).reshape(args.latents, args.views, -1)
+                return d, h
     else:
         @jax.jit
         def render_batch(latents):
@@ -109,20 +149,41 @@ def main(argv=None):
 
             return jax.vmap(one_latent)(latents)
 
-    depth, mask = jax.tree_util.tree_map(
-        jax.block_until_ready, render_batch(latents)
-    )
-    t0 = time.perf_counter()
-    depth, mask = render_batch(latents)
-    jax.block_until_ready(depth)
-    dt = time.perf_counter() - t0
+    extra = {}
+    if args.pallas and args.stream:
+        # warm up on ONE chunk (compile + sync-arm); the timed region then
+        # streams every chunk with a real per-chunk host fetch
+        lat_frames = jnp.repeat(latents, args.views, axis=0)
+        float(render_chunk_summary(lat_frames[:chunk], origins, dirs)[0])
+        t0 = time.perf_counter()
+        dsum, hits = render_batch(latents)
+        dt = time.perf_counter() - t0
+        extra = {"hit_frac": round(hits / (args.latents * args.views *
+                                           args.img * args.img), 4),
+                 "mean_hit_depth": round(dsum / max(hits, 1), 4),
+                 "chunk_frames": chunk}
+        try:
+            ms = jax.devices()[0].memory_stats() or {}
+            if "peak_bytes_in_use" in ms:
+                extra["peak_hbm_gb"] = round(
+                    ms["peak_bytes_in_use"] / 2**30, 2)
+        except Exception:
+            pass
+    else:
+        depth, mask = jax.tree_util.tree_map(
+            jax.block_until_ready, render_batch(latents)
+        )
+        t0 = time.perf_counter()
+        depth, mask = render_batch(latents)
+        jax.block_until_ready(depth)
+        dt = time.perf_counter() - t0
 
     n_rays = args.latents * args.views * args.img * args.img
     mrays = n_rays / dt / 1e6
     print(json.dumps({
         "latents": args.latents, "views": args.views, "img": args.img,
         "total_rays": n_rays, "seconds": round(dt, 3),
-        "Mrays_per_s": round(mrays, 2), "devices": n_dev,
+        "Mrays_per_s": round(mrays, 2), "devices": n_dev, **extra,
     }))
     return mrays
 
