@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--modes", default="xla,pallas")
+    ap.add_argument("--proxy", action="store_true",
+                    help="march the cached distilled proxy "
+                         "(.bench_proxy.npz) — bench.py's default path")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -98,8 +101,47 @@ def main():
         compute_dtype="bfloat16",
         use_pallas=on_tpu,
     )
-    factory = make_march_factory(params, dcfg, base)
+    pkw = {}
+    if args.proxy:
+        from dist_renderer_tpu.models.proxy import load_proxy_npz
+        pparams, pcfg = load_proxy_npz("/root/repo/.bench_proxy.npz")
+        pkw = dict(march_params=pparams, march_dcfg=pcfg)
+    factory = make_march_factory(params, dcfg, base, **pkw)
     march_fn = factory(z0)
+
+    # stage: coarse pyramid + classify + plan alone (the pre-march XLA
+    # glue verdict r3 weak-#2 wants folded into the megakernel) — the
+    # same assembly render_batched_c2f runs before its fine stage
+    if on_tpu:
+        import dataclasses as _dc2
+
+        from dist_renderer_tpu.ops.c2f import classify_pyramid, plan_from_maps
+        from dist_renderer_tpu.ops.pallas.batched_march import (
+            batched_trace_padded, fold_bias_bank, pack_shared,
+        )
+
+        mm = base.march
+        mp, md = (pparams, pcfg) if args.proxy else (params, dcfg)
+        shared_m = pack_shared(mp, md)
+        coarse_m = _dc2.replace(mm, max_steps=min(mm.max_steps, 16))
+
+        @jax.jit
+        def pyr(z, o, v):
+            bank_m = fold_bias_bank(mp, z[None], md, shared_m)
+
+            def trace_level(o_l, v_l, seed, active, stride):
+                return batched_trace_padded(
+                    shared_m, bank_m, o_l, v_l, coarse_m, seed, active,
+                    512, False, True)
+
+            maps = classify_pyramid(
+                trace_level, o.reshape(1, img, img, 3),
+                v.reshape(1, img, img, 3), (16, 4), mm.c2f_backoff)
+            return plan_from_maps(maps)
+
+        t_pyr = timeit(lambda: pyr(z0, origins, dirs)[0])
+        print(f"pyramid+classify+plan alone:    {t_pyr*1e3:7.2f} ms",
+              flush=True)
 
     # stage: trace only
     if on_tpu and hasattr(march_fn, "trace_frame"):
