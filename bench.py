@@ -108,6 +108,17 @@ def main():
                   file=sys.stderr)
     march_kw = dict(convergence_eps=2e-3, depth_eps=5e-4,
                     c2f_strides=(16, 4), c2f_coarse_steps=16) if fast else {}
+    if proxy is not None:
+        # verify-stage margins are a property of THIS proxy's measured
+        # error, not config constants (models/proxy.proxy_march_margins)
+        from dist_renderer_tpu.models.proxy import (
+            load_proxy_meta, proxy_march_margins,
+        )
+
+        meta = load_proxy_meta(pcache)
+        if meta is not None:
+            bo, band = proxy_march_margins(meta, march_kw["convergence_eps"])
+            march_kw.update(proxy_backoff=bo, proxy_band=band)
     cfg = RenderConfig(
         img_h=img, img_w=img,
         march=MarchConfig(

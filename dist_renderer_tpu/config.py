@@ -98,25 +98,30 @@ class MarchConfig:
                                     # packed to the queue WITHOUT marching
                                     # (pure scheduling — bit-identical; 0.5
                                     # measured best at 512^2 on v5e)
-    proxy_backoff: float = 0.005    # distilled-proxy march (models/proxy.py):
+    proxy_backoff: float = 0.015    # distilled-proxy march (models/proxy.py):
                                     # the verify stage's full-decoder march
-                                    # seeds at (proxy depth - backoff). Tie
-                                    # this to proxy_error_report p99 (bench
-                                    # proxy: 5.1e-3) — every extra retreat
-                                    # adds ~1 forward step to EVERY seeded
-                                    # block (0.015 measured 4.7 steps of
-                                    # block residency vs ~2 at 0.005), but
-                                    # zero breaks demoted-false-hit margin
-                                    # sampling (ops/pallas/batched_march.py
-                                    # verify docstring)
-    proxy_band: float = 0.012       # proxy-miss rays with margin below this
+                                    # seeds at (proxy depth - backoff).
+                                    # CONSERVATIVE default for arbitrary
+                                    # proxies — tune per proxy to ~its
+                                    # error-report p99 (every extra retreat
+                                    # adds ~1 step of block residency to
+                                    # EVERY seeded block: 0.015 measured 4.7
+                                    # vs ~2 at 0.005 on the bench proxy;
+                                    # models/proxy.py::proxy_march_margins
+                                    # derives it, bench.py applies it), but
+                                    # never zero: demoted-false-hit margin
+                                    # sampling needs the pre-surface retreat
+                                    # (ops/pallas/batched_march.py verify
+                                    # docstring)
+    proxy_band: float = 0.02        # proxy-miss rays with margin below this
                                     # get a full re-march (the hit/miss
-                                    # verdict band the proxy cannot decide);
-                                    # must exceed the proxy's near-surface
-                                    # error MAX (bench proxy: 7.3e-3) + the
-                                    # march eps — NOT a generic safety factor:
-                                    # band re-marches are the dominant verify
-                                    # cost and scale linearly with this
+                                    # verdict band the proxy cannot decide).
+                                    # CONSERVATIVE default — tune per proxy
+                                    # to (error max + ~2.5x march eps): band
+                                    # re-marches from sphere entry are the
+                                    # dominant verify cost and scale
+                                    # linearly with this (bench proxy: max
+                                    # 7.3e-3 -> band 0.012)
 
 
 @dataclasses.dataclass(frozen=True)

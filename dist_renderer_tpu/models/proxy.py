@@ -222,7 +222,8 @@ def proxy_error_report(
     }
 
 
-def save_proxy_npz(path: str, proxy: Params, pcfg: DecoderConfig) -> None:
+def save_proxy_npz(path: str, proxy: Params, pcfg: DecoderConfig,
+                   err_report: Optional[Dict[str, float]] = None) -> None:
     flat = {}
     for i, lyr in enumerate(proxy["layers"]):
         flat[f"w{i}"] = np.asarray(lyr["w"])
@@ -233,7 +234,47 @@ def save_proxy_npz(path: str, proxy: Params, pcfg: DecoderConfig) -> None:
     flat["flags"] = np.asarray(
         [pcfg.use_tanh, pcfg.final_tanh, pcfg.xyz_in_all], np.int64
     )
+    if err_report is not None:
+        # the measured near-surface error quantiles travel WITH the
+        # weights: verify-stage margins (proxy_backoff/proxy_band) are a
+        # property of THIS proxy's error, not a global config constant
+        flat["err_quantiles"] = np.asarray(
+            [err_report["p50"], err_report["p95"], err_report["p99"],
+             err_report["max"]], np.float64)
     np.savez(path, **flat)
+
+
+def load_proxy_meta(path: str) -> Optional[Dict[str, float]]:
+    """Error-report quantiles stored alongside the cached weights (None
+    for caches written before the report was recorded)."""
+    data = np.load(path)
+    if "err_quantiles" not in data:
+        return None
+    q = data["err_quantiles"]
+    return {"p50": float(q[0]), "p95": float(q[1]), "p99": float(q[2]),
+            "max": float(q[3])}
+
+
+def proxy_march_margins(err_report: Dict[str, float],
+                        convergence_eps: float) -> Tuple[float, float]:
+    """(proxy_backoff, proxy_band) for a proxy with this measured error.
+
+    backoff ~ p99: the verify seed retreats just past the proxy's
+    surface displacement for 99% of rays (the bracket-secant march
+    recovers the tail); every extra retreat costs ~1 step of block
+    residency on EVERY seeded block (measured 4.7 -> ~2 residency going
+    0.015 -> 0.005 on the bench proxy). Never below 2x eps: the retreat
+    is also what makes a demoted false hit re-sample the field dip
+    behind its claimed depth (batched_march verify docstring).
+
+    band ~ error max + 2.5x eps: a proxy miss can only be a real hit
+    where the full field dips below zero, i.e. where the proxy read
+    less than its own worst error plus the march's convergence ball;
+    band re-marches from sphere entry are the dominant verify cost and
+    scale linearly with this width."""
+    backoff = max(float(err_report["p99"]), 2.0 * convergence_eps)
+    band = float(err_report["max"]) + 2.5 * convergence_eps
+    return backoff, band
 
 
 def load_proxy_npz(path: str) -> Tuple[Params, DecoderConfig]:
@@ -272,8 +313,9 @@ def get_or_distill_cached(
                 f"proxy cache {cache_path} unreadable ({e!r}); re-distilling"
             )
     proxy, pcfg = distill_proxy(params, dcfg, latents, **kw)
+    rep = proxy_error_report(params, dcfg, proxy, pcfg, latents)
     try:
-        save_proxy_npz(cache_path, proxy, pcfg)
+        save_proxy_npz(cache_path, proxy, pcfg, err_report=rep)
     except OSError as e:
         warnings.warn(f"could not write proxy cache {cache_path}: {e!r}")
     return proxy, pcfg

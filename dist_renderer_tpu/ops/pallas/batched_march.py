@@ -804,7 +804,8 @@ def render_batched_c2f(
     warm: Optional[Tuple[jax.Array, ...]] = None,
     proxy: Optional[Tuple[Params, DecoderConfig]] = None,
     proxy_backoff: float = 0.015,
-    proxy_band: float = 0.012,
+    proxy_band: float = 0.02,
+    proxy_block: Optional[int] = None,
 ) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
@@ -865,8 +866,14 @@ def render_batched_c2f(
         pp, pc = proxy
         shared_m = pack_shared(pp, pc)
         bank_m = fold_bias_bank(pp, latents, pc, shared_m)
+        # proxy weights are ~20x smaller: wider blocks amortize the
+        # march's per-block VPU machinery (measured 2.36 us/512 lanes at
+        # block=512 vs 2.00 at 2048 on uniform work; residency growth
+        # with width is the counter-force — sweep before changing)
+        block_m = proxy_block if proxy_block else block
     else:
         shared_m, bank_m = shared, bank
+        block_m = block
     coarse_march = _dc.replace(
         march, max_steps=min(march.max_steps, coarse_steps)
     )
@@ -876,13 +883,13 @@ def render_batched_c2f(
         """Coarse level through the multi-frame fused kernel (the proxy
         when one is given — classification is verified downstream)."""
         res = batched_trace_padded(
-            shared_m, bank_m, o_l, v_l, coarse_march, seed, active, block,
+            shared_m, bank_m, o_l, v_l, coarse_march, seed, active, block_m,
             interpret, True,
         )
         if with_diag:
             r_pad = res.steps_per_ray.shape[0] // f
             diag[f"coarse{stride}_block_residency"] = res.steps_per_ray.reshape(
-                -1, block
+                -1, block_m
             ).max(axis=1)
             diag[f"coarse{stride}_ray_steps"] = res.steps_per_ray.reshape(
                 f, r_pad
@@ -943,7 +950,7 @@ def render_batched_c2f(
     need_steps = return_steps or verify
     need_last = return_last or verify
 
-    def fine_stage(sh, bk, key_s, seed_s, stage_diag):
+    def fine_stage(sh, bk, key_s, seed_s, stage_diag, blk):
         """One scheduler pass; canonical 7-tuple in pixel order:
         (d, hit, msdf, dam, lastf, steps, unres). Fields not requested by
         the caller AND not needed by the verify merge come back as None
@@ -951,15 +958,18 @@ def render_batched_c2f(
         if scheduler == "queue":
             from dist_renderer_tpu.ops.pallas.queue_march import queue_march
 
+            # the queue kernel's compaction one-hots are [2B, B] — VMEM
+            # scales as B^2, so wide proxy blocks stay a grid/rounds-only
+            # lever
             d, hit, msdf, dam, lastf, steps, unres = queue_march(
                 sh, bk, o_in, dirs, key_s, seed_s, march,
-                block=block, gen_caps=queue_caps,
+                block=min(blk, block), gen_caps=queue_caps,
                 dense_frac=queue_dense_frac, interpret=interpret,
             )
             return d, hit, msdf, dam, lastf, steps.astype(jnp.int32), unres
         fine = fine_march_rounds(
             sh, bk, o_in, dirs, key_s, seed_s, march,
-            block=block, round_caps=round_caps, interpret=interpret,
+            block=blk, round_caps=round_caps, interpret=interpret,
             diag=stage_diag, live_frac=live_frac,
             return_anchor=need_anchor, return_steps=need_steps,
             return_last=need_last,
@@ -976,7 +986,8 @@ def render_batched_c2f(
         return d, hit, msdf, dam, lastf, steps, unres
 
     d, hit, msdf, dam, lastf, steps, unres = fine_stage(
-        shared_m, bank_m, key, init_depth, diag if with_diag else None
+        shared_m, bank_m, key, init_depth, diag if with_diag else None,
+        block_m,
     )
     # skip rays never marched: margin/anchor/last from the coarse level
     msdf = jnp.where(skip, margin, msdf)
@@ -1002,7 +1013,7 @@ def render_batched_c2f(
         )
         vdiag = {} if with_diag else None
         d2, hit2, msdf2, dam2, lastf2, steps2, unres2 = fine_stage(
-            shared, bank, key2, seed2, vdiag
+            shared, bank, key2, seed2, vdiag, block
         )
         if with_diag:
             diag.update({f"verify_{k_}": v_ for k_, v_ in vdiag.items()})

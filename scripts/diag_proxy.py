@@ -35,13 +35,17 @@ def main():
 
     from dist_renderer_tpu.config import DecoderConfig, MarchConfig
     from dist_renderer_tpu.models.pretrain import load_params_npz
-    from dist_renderer_tpu.models.proxy import load_proxy_npz
+    from dist_renderer_tpu.models.proxy import (
+        load_proxy_meta, load_proxy_npz, proxy_march_margins,
+    )
     from dist_renderer_tpu.ops.camera import Camera, pixel_rays
     from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
 
     dcfg = DecoderConfig()
     params, z0 = load_params_npz("/root/repo/.bench_decoder.npz")
     proxy, pcfg = load_proxy_npz("/root/repo/.bench_proxy.npz")
+    meta = load_proxy_meta("/root/repo/.bench_proxy.npz")
+    pbo, pband = proxy_march_margins(meta, 2e-3) if meta else (0.015, 0.02)
 
     img, F = args.img, args.frames
     cam = Camera.looking_at((0.0, 0.0, -2.5), focal=img * 1.2,
@@ -65,7 +69,8 @@ def main():
             jnp.broadcast_to(v_, (F,) + v_.shape[1:]),
             (img, img), march, strides=(16, 4), coarse_steps=16,
             shared_origin=True, return_steps=True, return_last=True,
-            proxy=proxy_arg, scheduler=args.scheduler,
+            proxy=proxy_arg, proxy_backoff=pbo, proxy_band=pband,
+            scheduler=args.scheduler,
             interpret=interp,
         ))
         out = fn(lat, ob, vb)
@@ -94,6 +99,7 @@ def main():
         jnp.broadcast_to(v_, (F,) + v.shape),
         (img, img), march, strides=(16, 4), coarse_steps=16,
         shared_origin=True, with_diag=True, proxy=(proxy, pcfg),
+        proxy_backoff=pbo, proxy_band=pband,
         scheduler="rounds", interpret=interp,
     )[-1])
     diag = diag_fn(lat, ob, vb)

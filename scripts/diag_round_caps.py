@@ -38,15 +38,21 @@ def main():
 
     from dist_renderer_tpu.config import DecoderConfig, MarchConfig
     from dist_renderer_tpu.models.pretrain import load_params_npz
-    from dist_renderer_tpu.models.proxy import load_proxy_npz
+    from dist_renderer_tpu.models.proxy import (
+        load_proxy_meta, load_proxy_npz, proxy_march_margins,
+    )
     from dist_renderer_tpu.ops.camera import Camera, pixel_rays
     from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
 
     dcfg = DecoderConfig()
     params, z0 = load_params_npz("/root/repo/.bench_decoder.npz")
     proxy = None
+    pbo, pband = 0.015, 0.02
     if not args.no_proxy:
         proxy = load_proxy_npz("/root/repo/.bench_proxy.npz")
+        meta = load_proxy_meta("/root/repo/.bench_proxy.npz")
+        if meta:
+            pbo, pband = proxy_march_margins(meta, 2e-3)
 
     img, F = args.img, args.frames
     cam = Camera.looking_at((0.0, 0.0, -2.5), focal=img * 1.2,
@@ -70,7 +76,8 @@ def main():
             jnp.broadcast_to(v_, (F,) + v_.shape[1:]),
             (img, img), march, strides=(16, 4), coarse_steps=16,
             shared_origin=True, round_caps=caps, scheduler="rounds",
-            proxy=proxy, interpret=interp,
+            proxy=proxy, proxy_backoff=pbo, proxy_band=pband,
+            interpret=interp,
         )[:2])
         d, h = fn(lat, ob, vb)
         float(jnp.sum(d))

@@ -74,11 +74,13 @@ def main():
     rep = proxy_error_report(params, dcfg, proxy, pcfg, lat,
                              jax.random.PRNGKey(0))
     print("new:", json.dumps(rep), flush=True)
-    save_proxy_npz("/root/repo/.bench_proxy_v2.npz", proxy, pcfg)
+    save_proxy_npz("/root/repo/.bench_proxy_v2.npz", proxy, pcfg,
+                   err_report=rep)
 
     if args.promote and (old_rep is None or (rep["max"] < old_rep["max"]
                                              and rep["p99"] < old_rep["p99"])):
-        save_proxy_npz("/root/repo/.bench_proxy.npz", proxy, pcfg)
+        save_proxy_npz("/root/repo/.bench_proxy.npz", proxy, pcfg,
+                       err_report=rep)
         print("promoted to .bench_proxy.npz", flush=True)
 
 
