@@ -806,6 +806,10 @@ def render_batched_c2f(
     proxy_backoff: float = 0.015,
     proxy_band: float = 0.02,
     proxy_block: Optional[int] = None,
+    proxy_verify: bool = True,     # False = UNVERIFIED proxy trace (depth/
+                                   # hit/margins carry proxy error — a
+                                   # diagnostics/cost-attribution knob, not
+                                   # a production mode)
 ) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
@@ -945,7 +949,7 @@ def render_batched_c2f(
         # frames; the queue's chunk walk is sequential in F)
         scheduler = "queue" if f == 1 else "rounds"
 
-    verify = proxy is not None
+    verify = proxy is not None and proxy_verify
     need_anchor = return_anchor or verify
     need_steps = return_steps or verify
     need_last = return_last or verify

@@ -103,9 +103,19 @@ def main():
     )
     pkw = {}
     if args.proxy:
-        from dist_renderer_tpu.models.proxy import load_proxy_npz
+        import dataclasses as _dc0
+
+        from dist_renderer_tpu.models.proxy import (
+            load_proxy_meta, load_proxy_npz, proxy_march_margins,
+        )
         pparams, pcfg = load_proxy_npz("/root/repo/.bench_proxy.npz")
         pkw = dict(march_params=pparams, march_dcfg=pcfg)
+        meta = load_proxy_meta("/root/repo/.bench_proxy.npz")
+        if meta is not None:
+            bo, band = proxy_march_margins(meta,
+                                           base.march.convergence_eps)
+            base = _dc0.replace(base, march=_dc0.replace(
+                base.march, proxy_backoff=bo, proxy_band=band))
     factory = make_march_factory(params, dcfg, base, **pkw)
     march_fn = factory(z0)
 
