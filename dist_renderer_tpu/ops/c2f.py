@@ -76,9 +76,31 @@ def classify_pyramid(
     anything duck-typed to it). seed is None at the coarsest level.
 
     Returns None when `strides` is empty (caller falls back to a plain
-    full-resolution march)."""
+    full-resolution march).
+
+    Layout note (round-4 glue work): all inter-level state is carried at
+    the CURRENT level's coarse resolution and upsampled to full res ONCE
+    at the end. The previous implementation round-tripped every field
+    through full resolution at every level (6 maps x [F, H, W] writes per
+    level — pure HBM glue, ~measured in scripts/diag_f1_stages.py). For
+    nested strides (each stride divisible by the next — every production
+    config) the result is BIT-IDENTICAL: up-then-subsample and
+    resample-then-up agree because ((i//a)*a)//b == i//b when a | b
+    (tests/test_c2f.py::test_classify_pyramid_matches_fullres_reference).
+    For non-nested strides the anchor/margin a level-skipped ray inherits
+    may come from the neighboring parent cell (same neighborhood, equally
+    valid coarse sample); classification safety is unaffected."""
     f, h, w = o_g.shape[:3]
     maps: Optional[C2FMaps] = None
+    prev_stride = 0
+
+    def resample(g, s_from, s_to):
+        """Coarse grid at stride s_from -> grid at (finer) stride s_to:
+        g_out[j] = g[(j * s_to) // s_from] per axis — exactly the
+        up-to-full-res-then-[::s_to] mapping of the fullres layout."""
+        jr = (jnp.arange(h // s_to) * s_to) // s_from
+        jc = (jnp.arange(w // s_to) * s_to) // s_from
+        return g[:, jr][:, :, jc]
 
     for stride in strides:
         hh, ww = h // stride, w // stride
@@ -92,12 +114,10 @@ def classify_pyramid(
             # missed entirely never re-march — background cost is paid
             # only at the coarsest level. Their margin anchor propagates
             # down in the seed slot.
-            seed = maps.seed[:, ::stride, ::stride].reshape(f, -1)
-            active = maps.hit_any[:, ::stride, ::stride].reshape(f, -1)
-            seed = jnp.where(
-                active, seed,
-                maps.anchor[:, ::stride, ::stride].reshape(f, -1),
-            )
+            down = lambda g: resample(g, prev_stride, stride)
+            seed = down(maps.seed).reshape(f, -1)
+            active = down(maps.hit_any).reshape(f, -1)
+            seed = jnp.where(active, seed, down(maps.anchor).reshape(f, -1))
         res = trace_level(o_l, v_l, seed, active, stride)
 
         # seedable depth: converged depth for hits; for step-capped
@@ -118,7 +138,6 @@ def classify_pyramid(
         hit_any = windows(hitish, jax.lax.bitwise_or, False)
         hit_all = windows(strict, jax.lax.bitwise_and, True)
 
-        up = lambda g: jnp.repeat(jnp.repeat(g, stride, 1), stride, 2)
         # tight seeds on depth-flat windows (relaxing coarse convergence
         # eps instead was tried and REGRESSED: block residency is a max,
         # and looser coarse depth poisons tight seeds)
@@ -132,21 +151,29 @@ def classify_pyramid(
         # every deep-background ray a bogus near-zero/negative margin;
         # the proxy verify stage's near-miss band test (and silhouette
         # losses reading skip-ray margins) need the real coarse min-SDF.
-        new_anchor = up(res.depth_at_min.reshape(f, hh, ww))
-        new_margin = up(res.min_sdf.reshape(f, hh, ww))
+        new_anchor = res.depth_at_min.reshape(f, hh, ww)
+        new_margin = res.min_sdf.reshape(f, hh, ww)
         if maps is not None:
-            act_up = up(active.reshape(f, hh, ww))
-            new_anchor = jnp.where(act_up, new_anchor, maps.anchor)
-            new_margin = jnp.where(act_up, new_margin, maps.margin)
+            act_g = active.reshape(f, hh, ww)
+            down = lambda g: resample(g, prev_stride, stride)
+            new_anchor = jnp.where(act_g, new_anchor, down(maps.anchor))
+            new_margin = jnp.where(act_g, new_margin, down(maps.margin))
         maps = C2FMaps(
-            seed=jnp.where(jnp.isfinite(up(dmin)), up(dmin) - up(bo), jnp.nan),
-            hit_any=up(hit_any),
-            hit_all=up(hit_all),
+            seed=jnp.where(jnp.isfinite(dmin), dmin - bo, jnp.nan),
+            hit_any=hit_any,
+            hit_all=hit_all,
             anchor=new_anchor,
             margin=new_margin,
-            width=up(jnp.where(jnp.isfinite(rng), rng, jnp.inf)),
+            width=jnp.where(jnp.isfinite(rng), rng, jnp.inf),
         )
-    return maps
+        prev_stride = stride
+
+    if maps is None:
+        return None
+    # ONE upsample to full resolution (replication: full pixel i reads
+    # coarse cell i // stride, both axes)
+    up = lambda g: jnp.repeat(jnp.repeat(g, prev_stride, 1), prev_stride, 2)
+    return C2FMaps(*(up(g) for g in maps))
 
 
 def warm_maps(
