@@ -530,6 +530,7 @@ def fine_march_rounds(
     return_anchor: bool = False,
     return_steps: bool = False,
     return_last: bool = False,
+    return_unres: bool = False,
     difficulty_repack: Optional[bool] = None,
 ) -> Tuple[jax.Array, ...]:
     """Multi-round straggler-rebinned fine march; outputs in PIXEL order.
@@ -540,8 +541,13 @@ def fine_march_rounds(
     return_last=True appends (last_sdf, unresolved) — the kernel's true
     final SDF sample per marched ray (+inf where never marched) and the
     open-at-exit flag, so single-frame TraceResults carry real telemetry
-    instead of fabricated zeros. Flag-gated because each extra field rides
-    every repack sort as a payload.
+    instead of fabricated zeros. return_unres=True appends ONLY the
+    unresolved flag (free: 'live' is re-derived from the sort key, never
+    carried — the proxy verify stage needs it without paying for lsdf).
+    Flag-gated because each extra field rides every repack sort as a
+    payload: dam/stp/lsdf are created, updated, and unsorted ONLY when
+    their flag asks for them (a [F, N] f32 payload costs real sort
+    bandwidth x 4 sorts — measured on the round-4 verify-stage diet).
 
     Why rounds: block residency is the MAX over a block's 512 rays, so a
     few 30-50-step stragglers hold class-sorted blocks at ~16 steps where
@@ -619,15 +625,21 @@ def fine_march_rounds(
     st0["hit"] = jnp.zeros((f, n), f32)
     st0["msdf"] = jnp.full((f, n), jnp.inf, f32)
     st0["brk"] = jnp.zeros((f, n), bool)
-    st0["dam"] = jnp.where(jnp.isfinite(st0["d"]), st0["d"], 0.0)
-    st0["stp"] = jnp.zeros((f, n), jnp.int32)
+    if return_anchor:
+        st0["dam"] = jnp.where(jnp.isfinite(st0["d"]), st0["d"], 0.0)
+    if return_steps:
+        st0["stp"] = jnp.zeros((f, n), jnp.int32)
     if carry_lsdf:
         # |last f| doubles as the difficulty-repack signal
         st0["lsdf"] = jnp.full((f, n), jnp.inf, f32)
 
     caps = tuple(round_caps)
-    out_fields = ["d", "hit", "msdf", "pix", "dam", "stp"] + (
-        ["lsdf", "live"] if return_last else []
+    out_fields = (
+        ["d", "hit", "msdf", "pix"]
+        + (["dam"] if return_anchor else [])
+        + (["stp"] if return_steps else [])
+        + (["lsdf"] if return_last else [])
+        + (["live"] if return_last or return_unres else [])
     )
 
     def rounds(width, st):
@@ -661,11 +673,12 @@ def fine_march_rounds(
             was = s["live"][:, :r]
             upd = lambda full, part: full.at[:, :r].set(
                 jnp.where(was, part, full[:, :r]))
-            # dam keys off the PRE-update msdf: keep the anchor of the
-            # round that actually achieved the min
-            s["dam"] = s["dam"].at[:, :r].set(
-                jnp.where(was & (res.min_sdf <= s["msdf"][:, :r]),
-                          res.depth_at_min, s["dam"][:, :r]))
+            if return_anchor:
+                # dam keys off the PRE-update msdf: keep the anchor of
+                # the round that actually achieved the min
+                s["dam"] = s["dam"].at[:, :r].set(
+                    jnp.where(was & (res.min_sdf <= s["msdf"][:, :r]),
+                              res.depth_at_min, s["dam"][:, :r]))
             s["d"] = upd(s["d"], res.depth)
             s["hit"] = upd(s["hit"],
                            jnp.maximum(s["hit"][:, :r], res.hit.astype(f32)))
@@ -775,6 +788,8 @@ def fine_march_rounds(
         out = out + (od["stp"],)
     if return_last:
         out = out + (od["lsdf"], od["live"])
+    elif return_unres:
+        out = out + (od["live"],)
     return out
 
 
@@ -950,21 +965,22 @@ def render_batched_c2f(
         scheduler = "queue" if f == 1 else "rounds"
 
     verify = proxy is not None and proxy_verify
-    need_anchor = return_anchor or verify
-    need_steps = return_steps or verify
-    need_last = return_last or verify
 
-    def fine_stage(sh, bk, key_s, seed_s, stage_diag, blk):
+    def fine_stage(sh, bk, key_s, seed_s, stage_diag, blk,
+                   want_anchor=False, want_steps=False, want_last=False,
+                   want_unres=False):
         """One scheduler pass; canonical 7-tuple in pixel order:
-        (d, hit, msdf, dam, lastf, steps, unres). Fields not requested by
-        the caller AND not needed by the verify merge come back as None
-        (they ride rounds-scheduler repack sorts as payloads)."""
+        (d, hit, msdf, dam, lastf, steps, unres). Un-wanted fields come
+        back as None on the rounds scheduler — every extra field rides
+        its repack sorts as a [F, N] payload (the round-4 verify diet:
+        the proxy stage only needs `unres` beyond the core triple, and
+        `live` is key-derived, so want_unres is payload-free)."""
         if scheduler == "queue":
             from dist_renderer_tpu.ops.pallas.queue_march import queue_march
 
             # the queue kernel's compaction one-hots are [2B, B] — VMEM
             # scales as B^2, so wide proxy blocks stay a grid/rounds-only
-            # lever
+            # lever; it compacts in-kernel, so every field is free
             d, hit, msdf, dam, lastf, steps, unres = queue_march(
                 sh, bk, o_in, dirs, key_s, seed_s, march,
                 block=min(blk, block), gen_caps=queue_caps,
@@ -975,23 +991,26 @@ def render_batched_c2f(
             sh, bk, o_in, dirs, key_s, seed_s, march,
             block=blk, round_caps=round_caps, interpret=interpret,
             diag=stage_diag, live_frac=live_frac,
-            return_anchor=need_anchor, return_steps=need_steps,
-            return_last=need_last,
+            return_anchor=want_anchor, return_steps=want_steps,
+            return_last=want_last, return_unres=want_unres,
         )
         d, hit, msdf = fine[:3]
         k = 3
         dam = lastf = steps = unres = None
-        if need_anchor:
+        if want_anchor:
             dam = fine[k]; k += 1
-        if need_steps:
+        if want_steps:
             steps = fine[k]; k += 1
-        if need_last:
+        if want_last:
             lastf, unres = fine[k], fine[k + 1]
+        elif want_unres:
+            unres = fine[k]
         return d, hit, msdf, dam, lastf, steps, unres
 
     d, hit, msdf, dam, lastf, steps, unres = fine_stage(
         shared_m, bank_m, key, init_depth, diag if with_diag else None,
-        block_m,
+        block_m, want_anchor=return_anchor, want_steps=return_steps,
+        want_last=return_last, want_unres=verify,
     )
     # skip rays never marched: margin/anchor/last from the coarse level
     msdf = jnp.where(skip, margin, msdf)
@@ -999,6 +1018,7 @@ def render_batched_c2f(
         dam = jnp.where(skip, anchor, dam)
     if lastf is not None:
         lastf = jnp.where(skip, margin, lastf)
+    if unres is not None:
         unres = unres & ~skip
 
     if verify:
@@ -1017,7 +1037,9 @@ def render_batched_c2f(
         )
         vdiag = {} if with_diag else None
         d2, hit2, msdf2, dam2, lastf2, steps2, unres2 = fine_stage(
-            shared, bank, key2, seed2, vdiag, block
+            shared, bank, key2, seed2, vdiag, block,
+            want_anchor=return_anchor, want_steps=return_steps,
+            want_last=return_last,
         )
         if with_diag:
             diag.update({f"verify_{k_}": v_ for k_, v_ in vdiag.items()})
@@ -1026,10 +1048,13 @@ def render_batched_c2f(
         d = jnp.where(act2, d2, d)
         hit = jnp.where(act2, hit2, False)
         msdf = jnp.where(act2, msdf2, msdf)
-        dam = jnp.where(act2, dam2, dam)
-        lastf = jnp.where(act2, lastf2, lastf)
-        steps = steps + jnp.where(act2, steps2, 0)
-        unres = jnp.where(act2, unres2, False)
+        if dam is not None and dam2 is not None:
+            dam = jnp.where(act2, dam2, dam)
+        if steps is not None and steps2 is not None:
+            steps = steps + jnp.where(act2, steps2, 0)
+        if lastf is not None and lastf2 is not None:
+            lastf = jnp.where(act2, lastf2, lastf)
+            unres = jnp.where(act2, unres2, False)
 
     out = (d, hit, msdf)
     if return_anchor:
