@@ -126,3 +126,60 @@ def test_band_vs_full_frame_budget(plan):
             np.asarray(d1)[:, sl][both], np.asarray(d2)[both], atol=1e-6,
             err_msg=f"band {b}: hit depths differ",
         )
+
+
+def test_return_flags_do_not_change_results(plan):
+    """Round-4 payload diet: dam/stp/lsdf are created and sorted only
+    when their flag asks for them. Flag combinations are pure OUTPUT
+    selection — the core triple (and each optional field, when present)
+    must be bit-identical across combinations, including the payload-free
+    return_unres path the proxy verify stage uses."""
+    shared, bank, ob, vb, key, idep = plan
+
+    def run(**flags):
+        return jax.jit(
+            lambda: fine_march_rounds(
+                shared, bank, ob, vb, key, idep, MARCH, block=512,
+                round_caps=(4, 12), interpret=True, live_frac=3, **flags
+            )
+        )()
+
+    full = run(return_anchor=True, return_steps=True, return_last=True)
+    d, h, m, dam, stp, lsdf, unres = full
+
+    combos = [
+        dict(),
+        dict(return_unres=True),
+        dict(return_anchor=True),
+        dict(return_steps=True),
+        dict(return_last=True),
+        dict(return_anchor=True, return_unres=True),
+    ]
+    for flags in combos:
+        out = list(run(**flags))
+        for nm, ref in (("depth", d), ("hit", h), ("min_sdf", m)):
+            np.testing.assert_array_equal(
+                np.asarray(out.pop(0)), np.asarray(ref),
+                err_msg=f"{flags}: {nm}",
+            )
+        if flags.get("return_anchor"):
+            np.testing.assert_array_equal(
+                np.asarray(out.pop(0)), np.asarray(dam),
+                err_msg=f"{flags}: dam",
+            )
+        if flags.get("return_steps"):
+            np.testing.assert_array_equal(
+                np.asarray(out.pop(0)), np.asarray(stp),
+                err_msg=f"{flags}: steps",
+            )
+        if flags.get("return_last"):
+            np.testing.assert_array_equal(
+                np.asarray(out.pop(0)), np.asarray(lsdf),
+                err_msg=f"{flags}: lsdf",
+            )
+        if flags.get("return_last") or flags.get("return_unres"):
+            np.testing.assert_array_equal(
+                np.asarray(out.pop(0)), np.asarray(unres),
+                err_msg=f"{flags}: unres",
+            )
+        assert not out, f"{flags}: unexpected extra outputs"
