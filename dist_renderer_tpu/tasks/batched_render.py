@@ -118,11 +118,23 @@ def main(argv=None):
                 lat_frames = jnp.repeat(latents, args.views, axis=0)
                 dsum = 0.0
                 hits = 0
-                for s in range(0, n_frames, chunk):
+                pend_d, pend_h = [], []
+                for ci, s in enumerate(range(0, n_frames, chunk)):
                     ds, hs = render_chunk_summary(
                         lat_frames[s:s + chunk], origins, dirs)
-                    dsum += float(ds)     # device->host fetch: real sync
-                    hits += int(hs)
+                    # keep dispatch ASYNC: a device->host fetch per chunk
+                    # serializes the tunnel round-trip (~0.3-1.2 s) into
+                    # every chunk; draining every 16 chunks bounds the
+                    # dispatch queue while amortizing the sync
+                    pend_d.append(ds)
+                    pend_h.append(hs)
+                    if len(pend_d) >= 16:
+                        dsum += float(sum(pend_d))   # real sync
+                        hits += int(sum(pend_h))
+                        pend_d, pend_h = [], []
+                if pend_d:
+                    dsum += float(sum(pend_d))
+                    hits += int(sum(pend_h))
                 return dsum, hits
         else:
             def render_batch(latents):
