@@ -189,6 +189,11 @@ def main(argv=None):
         depth, mask = render_batch(latents)
         jax.block_until_ready(depth)
         dt = time.perf_counter() - t0
+        hits = int(jnp.sum(mask))
+        extra = {"hit_frac": round(hits / mask.size, 4),
+                 "mean_hit_depth": round(
+                     float(jnp.sum(jnp.where(mask, depth, 0.0)))
+                     / max(hits, 1), 4)}
 
     n_rays = args.latents * args.views * args.img * args.img
     mrays = n_rays / dt / 1e6

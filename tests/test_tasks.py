@@ -100,6 +100,25 @@ def test_batched_render_runs(capsys):
     assert mrays > 0
 
 
+def test_batched_render_stream_matches_materialized(capsys):
+    """Config-#5 stretch mode: the streamed summary reduction (async
+    per-chunk drain) must report the same hit statistics as the
+    materializing path on the same scene."""
+    import json as _json
+
+    from dist_renderer_tpu.tasks.batched_render import main
+
+    args = TINY + ["--latents", "2", "--views", "2", "--pallas"]
+    main(args)
+    base = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(args + ["--stream"])
+    stream = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stream["hit_frac"] == pytest.approx(base["hit_frac"], abs=1e-6)
+    assert stream["mean_hit_depth"] == pytest.approx(
+        base["mean_hit_depth"], abs=1e-4
+    )
+
+
 def test_evaluate_image_metrics(tmp_path):
     """The eval driver's chamfer AND render-space metrics: a decoder
     fitted to the GT shape must score near-perfect on all axes; the
