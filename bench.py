@@ -228,6 +228,7 @@ def main():
                 proxy=proxy,
                 proxy_backoff=cfg.march.proxy_backoff,
                 proxy_band=cfg.march.proxy_band,
+                verify_mode=cfg.march.proxy_verify_mode,
                 shared_origin=True))  # pinhole: one origin per frame
             float(jnp.sum(fb(lat_b, ob, vb)[0]))
             t0 = time.perf_counter()

@@ -113,6 +113,13 @@ class MarchConfig:
                                     # sampling needs the pre-surface retreat
                                     # (ops/pallas/batched_march.py verify
                                     # docstring)
+    proxy_verify_mode: str = "cert" # "cert": proxy hits certified with 2
+                                    # dense full-decoder probe evals around
+                                    # the proxy depth (ops/cert.py; failures
+                                    # demote to the re-march); "march": every
+                                    # proxy hit confirmed by a seeded full-
+                                    # decoder march (2x verify cost, the A/B
+                                    # fallback)
     proxy_band: float = 0.02        # proxy-miss rays with margin below this
                                     # get a full re-march (the hit/miss
                                     # verdict band the proxy cannot decide).

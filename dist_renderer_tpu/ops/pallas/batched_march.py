@@ -825,6 +825,13 @@ def render_batched_c2f(
                                    # hit/margins carry proxy error — a
                                    # diagnostics/cost-attribution knob, not
                                    # a production mode)
+    verify_mode: str = "cert",     # "cert": 2-probe full-decoder bracket
+                                   # certification of proxy hits (ops/cert.py)
+                                   # + re-march of band/unres/demoted rays.
+                                   # "march": every proxy hit confirmed by a
+                                   # seeded full-decoder march (the round-4
+                                   # original; ~2x the verify cost — kept as
+                                   # the A/B + fallback path)
 ) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
@@ -1022,19 +1029,48 @@ def render_batched_c2f(
         unres = unres & ~skip
 
     if verify:
-        # VERIFY stage: full-decoder march from proxy-derived seeds (see
-        # the docstring). Everything the caller consumes for non-skip
-        # rays is a genuine full-decoder march result after this.
+        # VERIFY stage: everything the caller consumes for non-skip rays
+        # is a genuine full-decoder result after this (see the docstring
+        # + ops/cert.py). Two modes:
+        #   cert  — proxy hits certified by a 2-probe full-decoder
+        #           bracket (secant depth); only band/unres/demoted/
+        #           overflow rays reach the re-march scheduler.
+        #   march — every proxy hit confirmed by a seeded march (the
+        #           original formulation; the cert A/B + fallback).
         hitish = hit | unres
         seeded = hit & ~unres
         band = (~hitish) & (msdf < proxy_band)
-        key2 = jnp.where(
-            seeded, 1, jnp.where(hitish | band, 0, 2)
-        ).astype(jnp.int32)
-        seed2 = jnp.where(
-            seeded, d - proxy_backoff,        # ~2-eval hit confirmation
-            jnp.where(unres, d, jnp.nan),     # band rays: sphere entry
-        )
+        certified = None
+        if verify_mode == "cert":
+            from dist_renderer_tpu.ops.cert import certify_hits_batched
+
+            cert = certify_hits_batched(
+                shared, bank, o_in, dirs, d, seeded, march,
+                delta=proxy_backoff, block=block, interpret=interpret,
+            )
+            certified = cert.certified
+            demoted = seeded & ~certified & ~cert.overflow
+            key2 = jnp.where(
+                cert.overflow, 1,
+                jnp.where((hitish & ~certified) | band, 0, 2),
+            ).astype(jnp.int32)
+            seed2 = jnp.where(
+                cert.overflow, d - proxy_backoff,
+                jnp.where(unres, d, jnp.nan),  # band/demoted: sphere entry
+            )
+            if with_diag:
+                diag["cert_frac"] = (
+                    jnp.sum(certified) / jnp.maximum(jnp.sum(seeded), 1)
+                )
+                diag["cert_demoted"] = jnp.sum(demoted)
+        else:
+            key2 = jnp.where(
+                seeded, 1, jnp.where(hitish | band, 0, 2)
+            ).astype(jnp.int32)
+            seed2 = jnp.where(
+                seeded, d - proxy_backoff,        # ~2-eval hit confirmation
+                jnp.where(unres, d, jnp.nan),     # band rays: sphere entry
+            )
         vdiag = {} if with_diag else None
         d2, hit2, msdf2, dam2, lastf2, steps2, unres2 = fine_stage(
             shared, bank, key2, seed2, vdiag, block,
@@ -1045,16 +1081,39 @@ def render_batched_c2f(
             diag.update({f"verify_{k_}": v_ for k_, v_ in vdiag.items()})
             diag["verify_key"] = key2
         act2 = key2 != 2
-        d = jnp.where(act2, d2, d)
-        hit = jnp.where(act2, hit2, False)
-        msdf = jnp.where(act2, msdf2, msdf)
-        if dam is not None and dam2 is not None:
-            dam = jnp.where(act2, dam2, dam)
-        if steps is not None and steps2 is not None:
-            steps = steps + jnp.where(act2, steps2, 0)
-        if lastf is not None and lastf2 is not None:
-            lastf = jnp.where(act2, lastf2, lastf)
-            unres = jnp.where(act2, unres2, False)
+        if certified is not None:
+            # certified rays: full-decoder secant depth + bracket values
+            # from the cert probes; they never touched the re-march
+            d = jnp.where(act2, d2, jnp.where(certified, cert.depth, d))
+            hit = jnp.where(act2, hit2, certified)
+            msdf = jnp.where(
+                act2, msdf2,
+                jnp.where(certified, jnp.minimum(msdf, cert.f_inside), msdf),
+            )
+            if dam is not None and dam2 is not None:
+                dam = jnp.where(
+                    act2, dam2, jnp.where(certified, cert.depth, dam)
+                )
+            if steps is not None and steps2 is not None:
+                steps = steps + jnp.where(
+                    act2, steps2, jnp.where(certified, 2, 0)
+                )
+            if lastf is not None and lastf2 is not None:
+                lastf = jnp.where(
+                    act2, lastf2, jnp.where(certified, cert.f_inside, lastf)
+                )
+                unres = jnp.where(act2, unres2, False)
+        else:
+            d = jnp.where(act2, d2, d)
+            hit = jnp.where(act2, hit2, False)
+            msdf = jnp.where(act2, msdf2, msdf)
+            if dam is not None and dam2 is not None:
+                dam = jnp.where(act2, dam2, dam)
+            if steps is not None and steps2 is not None:
+                steps = steps + jnp.where(act2, steps2, 0)
+            if lastf is not None and lastf2 is not None:
+                lastf = jnp.where(act2, lastf2, lastf)
+                unres = jnp.where(act2, unres2, False)
 
     out = (d, hit, msdf)
     if return_anchor:

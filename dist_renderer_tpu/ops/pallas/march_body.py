@@ -35,7 +35,8 @@ _NEG_BIG = -3.0e38  # stand-ins for +-inf that survive bf16/fp32 where-games
 _POS_BIG = 3.0e38
 
 
-def mlp_apply(kinds, w_refs, biases, final_tanh, p8, out_rows=1):
+def mlp_apply(kinds, w_refs, biases, final_tanh, p8, out_rows=1,
+              p8_lo=None):
     """One fused MLP eval: p8 [8, B] bf16 (rows 0-2 = xyz) -> sdf [1, B] fp32.
 
     out_rows: leading output rows to return (1 for SDF decoders — the
@@ -49,6 +50,14 @@ def mlp_apply(kinds, w_refs, biases, final_tanh, p8, out_rows=1):
     sweep — scripts/diag_kernel.py). biases: per-layer arrays
     broadcastable against the layer output [out_p, B] (a [out_p, 1]
     column from per-layer refs or a bias-bank one-hot reduction).
+
+    p8_lo: optional bf16 LOW HALF of the input positions (bf16x2 split:
+    p8_lo = bf16(p_fp32 - fp32(p8))). When given, every 'x' dot runs
+    twice (hi + lo, fp32 accumulation) — the x-dots are [out_p, 8] and
+    cost ~1.5% of a hidden dot, so this removes the ~ulp(|p|) ~ 4e-3
+    bf16 POSITION quantization nearly for free. The hidden-layer
+    rounding noise (~5e-4) remains; used by the proxy verify
+    certification probes where probe spacing is ~the quantum.
 
     Precision: dots accumulate in fp32 and round ONCE to bf16 at each
     activation. bf16 accumulation was tried and rejected — p95 ~3.6e-3
@@ -70,6 +79,11 @@ def mlp_apply(kinds, w_refs, biases, final_tanh, p8, out_rows=1):
                 w_refs[wi][:, :], p8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if p8_lo is not None:
+                xz = xz + jax.lax.dot_general(
+                    w_refs[wi][:, :], p8_lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             acc = xz if acc is None else acc + xz
             wi += 1
         acc = acc + biases[li]

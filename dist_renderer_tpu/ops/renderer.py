@@ -665,6 +665,7 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig,
                     proxy=(mparams, mdcfg) if is_proxy else None,
                     proxy_backoff=march.proxy_backoff,
                     proxy_band=march.proxy_band,
+                    verify_mode=march.proxy_verify_mode,
                     interpret=interpret,
                 )
                 from dist_renderer_tpu.ops.tracer import (

@@ -101,6 +101,9 @@ def main(argv=None):
             return render_batched_c2f(
                 params, dcfg, lat_f, o_chunk, v_chunk,
                 (args.img, args.img), cfg.march, proxy=proxy,
+                proxy_backoff=cfg.march.proxy_backoff,
+                proxy_band=cfg.march.proxy_band,
+                verify_mode=cfg.march.proxy_verify_mode,
                 interpret=jax.default_backend() != "tpu",
             )[:2]
 

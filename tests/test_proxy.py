@@ -225,3 +225,149 @@ def test_batched_proxy_verify_matches_full(decoders, exact):
     near = msf < MarchConfig().proxy_band
     if near.any():
         assert np.abs(msp[near] - msf[near]).max() < 5e-3
+
+
+def _batched(decoders, exact_like, **over):
+    """render_batched_c2f at the module fixture's scene, F=2."""
+    from dist_renderer_tpu.ops.camera import pixel_rays
+    from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
+
+    params, z0, dcfg, proxy, pcfg = decoders
+    cam = over.pop(
+        "cam",
+        Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(IMG, IMG)),
+    )
+    o, v = pixel_rays(cam, IMG, IMG)
+    F = 2
+    lat = jnp.stack([z0, z0])
+    ob = jnp.broadcast_to(o[None], (F,) + o.shape)
+    vb = jnp.broadcast_to(v[None], (F,) + v.shape)
+    march = MarchConfig(
+        max_steps=50, convergence_eps=2e-3, depth_eps=5e-4,
+        coarse_to_fine=True,
+    )
+    kw = dict(
+        img_hw=(IMG, IMG), march=march, strides=(4,), shared_origin=True,
+        interpret=True,
+    )
+    kw.update(over)
+    return render_batched_c2f(params, dcfg, lat, ob, vb, **kw)[:3]
+
+
+def test_cert_matches_march_verify(decoders, exact):
+    """verify_mode='cert' (2-probe bracket certification, ops/cert.py)
+    must agree with verify_mode='march' (seeded full-decoder march) on the
+    hit mask away from eps-borderline rays, and be no less accurate
+    against the fp32 exact render."""
+    params, z0, dcfg, proxy, pcfg = decoders
+    d_m, h_m, _ = _batched(decoders, exact, proxy=(proxy, pcfg),
+                           verify_mode="march")
+    d_c, h_c, _ = _batched(decoders, exact, proxy=(proxy, pcfg),
+                           verify_mode="cert")
+    hm, hc = np.asarray(h_m), np.asarray(h_c)
+    agree = (hm == hc).mean()
+    assert agree > 0.99, f"cert-vs-march hit agreement {agree:.4f}"
+
+    de = np.asarray(exact.depth).reshape(-1)[None].repeat(2, 0)
+    he = np.asarray(exact.mask).reshape(-1)[None].repeat(2, 0)
+    err_m = np.abs(np.asarray(d_m) - de)[hm & he]
+    err_c = np.abs(np.asarray(d_c) - de)[hc & he]
+    assert np.median(err_c) <= np.median(err_m) * 1.3 + 1e-4
+    assert np.percentile(err_c, 95) <= np.percentile(err_m, 95) * 1.3 + 2e-4
+
+
+def test_cert_demotion_fallback(decoders, exact):
+    """A probe window far below the proxy's real depth error makes the
+    bracket test fail: rays must DEMOTE to the full re-march and still
+    come back with genuine full-decoder results (accuracy unchanged),
+    never silently keep proxy values."""
+    params, z0, dcfg, proxy, pcfg = decoders
+    d_c, h_c, _ = _batched(
+        decoders, exact, proxy=(proxy, pcfg), verify_mode="cert",
+        proxy_backoff=2e-4,   # << proxy error p50 — most certs fail
+        with_diag=True,
+    )
+    from dist_renderer_tpu.ops.camera import pixel_rays
+    from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
+
+    # diag run to confirm the demotion path actually fired
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(IMG, IMG))
+    o, v = pixel_rays(cam, IMG, IMG)
+    lat = jnp.stack([z0, z0])
+    ob = jnp.broadcast_to(o[None], (2,) + o.shape)
+    vb = jnp.broadcast_to(v[None], (2,) + v.shape)
+    march = MarchConfig(max_steps=50, convergence_eps=2e-3, depth_eps=5e-4,
+                        coarse_to_fine=True)
+    out = render_batched_c2f(
+        params, dcfg, lat, ob, vb, (IMG, IMG), march, strides=(4,),
+        shared_origin=True, interpret=True, proxy=(proxy, pcfg),
+        verify_mode="cert", proxy_backoff=2e-4, with_diag=True,
+    )
+    diag = out[-1]
+    assert int(diag["cert_demoted"]) > 0, "demotion path never exercised"
+
+    hc = np.asarray(h_c)
+    he = np.asarray(exact.mask).reshape(-1)[None].repeat(2, 0)
+    de = np.asarray(exact.depth).reshape(-1)[None].repeat(2, 0)
+    agree = (hc == he).mean()
+    assert agree > 0.985, f"hit agreement after demotion {agree:.4f}"
+    err = np.abs(np.asarray(d_c) - de)[hc & he]
+    assert np.median(err) < 3e-3
+
+
+def test_cert_overflow_fallback(decoders):
+    """Hits beyond the cert bucket must route through the seeded-march
+    class (CertResult.overflow), not be dropped: certify directly with a
+    bucket smaller than the hit count and check the accounting."""
+    from dist_renderer_tpu.ops.cert import certify_hits_batched
+    from dist_renderer_tpu.ops.pallas.batched_march import (
+        fold_bias_bank, pack_shared,
+    )
+    from dist_renderer_tpu.ops.camera import pixel_rays
+
+    params, z0, dcfg, proxy, pcfg = decoders
+    cam = Camera.looking_at((0.0, 0.0, -1.2), focal=40.0, img_hw=(IMG, IMG))
+    o, v = pixel_rays(cam, IMG, IMG)
+    F = 2
+    ob = jnp.broadcast_to(o[None], (F,) + o.shape)
+    vb = jnp.broadcast_to(v[None], (F,) + v.shape)
+    march = MarchConfig(max_steps=50, convergence_eps=2e-3, depth_eps=5e-4)
+    shared = pack_shared(params, dcfg)
+    bank = fold_bias_bank(params, jnp.stack([z0, z0]), dcfg, shared)
+
+    # ground-truth-ish seeds: exact sphere geometry (decoder fits r=0.5)
+    oc = np.asarray(ob[0])
+    vc = np.asarray(vb[0])
+    b_ = np.sum(oc * vc, axis=-1)
+    c_ = np.sum(oc * oc, axis=-1) - 0.25
+    disc = b_ * b_ - c_
+    hit_geo = disc > 1e-4
+    d_geo = -b_ - np.sqrt(np.maximum(disc, 0.0))
+    seeded = jnp.asarray(np.repeat(hit_geo[None], F, 0))
+    depth = jnp.asarray(np.repeat(d_geo[None], F, 0), jnp.float32)
+
+    n_hits = int(hit_geo.sum())
+    assert n_hits > 128, "close-up camera should flood the bucket"
+    res = certify_hits_batched(
+        shared, bank, ob, vb, depth, seeded, march, delta=0.02,
+        block=128, bucket_frac=IMG * IMG // 128,   # bucket of one block
+        interpret=True,
+    )
+    n_over = int(jnp.sum(res.overflow))
+    n_cert = int(jnp.sum(res.certified))
+    assert n_over == (n_hits - 128) * F, (n_over, n_hits)
+    # geometric seeds deviate from the LEARNED zero set on grazing rays;
+    # most in-bucket rays still bracket within the window
+    assert n_cert > 0.6 * 128 * F, n_cert
+    # certified + overflow + uncertified-in-bucket == seeded, disjointly
+    assert not bool(jnp.any(res.certified & res.overflow))
+    covered = res.certified | res.overflow
+    assert bool(jnp.all(covered <= seeded))
+    # certified depths sit on the full decoder's zero set (within noise)
+    from dist_renderer_tpu.models.decoder import decoder_apply
+
+    d_np = np.asarray(res.depth)
+    cert_np = np.asarray(res.certified)
+    pts = oc[cert_np[0]] + d_np[0][cert_np[0], None] * vc[cert_np[0]]
+    f = np.asarray(decoder_apply(params, z0, jnp.asarray(pts), dcfg))
+    assert np.percentile(np.abs(f), 95) < 2e-3, np.percentile(np.abs(f), 95)
