@@ -83,12 +83,13 @@ def main():
 
     pkw = dict(proxy=proxy, proxy_backoff=pbo, proxy_band=pband)
     run("full")
-    run("proxy", **pkw)
+    run("proxy-cert", **pkw)                       # production default
+    run("proxy-march", verify_mode="march", **pkw)
     run("proxy-nv", proxy_verify=False, **pkw)
     for b in args.blocks.split(","):
         b = int(b)
-        run(f"proxy-b{b}", proxy_block=b, **pkw)
-        run(f"proxy-nv-b{b}", proxy_block=b, proxy_verify=False, **pkw)
+        run(f"cert-b{b}", proxy_block=b, **pkw)
+        run(f"nv-b{b}", proxy_block=b, proxy_verify=False, **pkw)
 
 
 if __name__ == "__main__":
