@@ -38,6 +38,9 @@ def main():
                          "verified by a full-decoder re-march in-pipeline)")
     ap.add_argument("--proxy-width", type=int, default=256)
     ap.add_argument("--proxy-depth", type=int, default=4)
+    ap.add_argument("--verify-band", default=None, choices=["march", "probe"],
+                    help="band-ray verify mode under verify_mode='cert' "
+                         "(MarchConfig.proxy_verify_band; default = config)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -119,6 +122,8 @@ def main():
         if meta is not None:
             bo, band = proxy_march_margins(meta, march_kw["convergence_eps"])
             march_kw.update(proxy_backoff=bo, proxy_band=band)
+        if args.verify_band:
+            march_kw.update(proxy_verify_band=args.verify_band)
     cfg = RenderConfig(
         img_h=img, img_w=img,
         march=MarchConfig(
@@ -229,6 +234,7 @@ def main():
                 proxy_backoff=cfg.march.proxy_backoff,
                 proxy_band=cfg.march.proxy_band,
                 verify_mode=cfg.march.proxy_verify_mode,
+                verify_band=cfg.march.proxy_verify_band,
                 shared_origin=True))  # pinhole: one origin per frame
             float(jnp.sum(fb(lat_b, ob, vb)[0]))
             t0 = time.perf_counter()

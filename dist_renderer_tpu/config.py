@@ -120,6 +120,15 @@ class MarchConfig:
                                     # proxy hit confirmed by a seeded full-
                                     # decoder march (2x verify cost, the A/B
                                     # fallback)
+    proxy_verify_band: str = "march"  # band rays under verify_mode="cert":
+                                    # "march" (full-decoder march from sphere
+                                    # entry — margin error ~1-2e-3) or
+                                    # "probe" (3-probe parabola at the proxy
+                                    # argmin — ~15x cheaper, margin error
+                                    # bounded by ~2x the proxy's field error
+                                    # on grazing dips; hit/miss verdicts stay
+                                    # genuine). See render_batched_c2f's
+                                    # verify_band docstring.
     proxy_band: float = 0.02        # proxy-miss rays with margin below this
                                     # get a full re-march (the hit/miss
                                     # verdict band the proxy cannot decide).

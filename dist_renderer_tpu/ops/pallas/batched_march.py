@@ -825,13 +825,39 @@ def render_batched_c2f(
                                    # hit/margins carry proxy error — a
                                    # diagnostics/cost-attribution knob, not
                                    # a production mode)
-    verify_mode: str = "cert",     # "cert": 2-probe full-decoder bracket
-                                   # certification of proxy hits (ops/cert.py)
-                                   # + re-march of band/unres/demoted rays.
+    verify_mode: str = "cert",     # "cert": dense full-decoder probes do the
+                                   # whole verify (ops/cert.py) — 2-probe
+                                   # bracket certification of proxy hits +
+                                   # 3-probe dip-minimum estimation of band
+                                   # rays; only demoted/promoted/overflow
+                                   # rays fall back to a SEEDED march and
+                                   # only unres rays re-march for real.
                                    # "march": every proxy hit confirmed by a
-                                   # seeded full-decoder march (the round-4
-                                   # original; ~2x the verify cost — kept as
-                                   # the A/B + fallback path)
+                                   # seeded full-decoder march, band rays
+                                   # re-marched from sphere entry (the
+                                   # round-4 original; ~3x the verify cost —
+                                   # kept as the A/B + fallback path)
+    proxy_band_w: float = 0.02,    # band-probe half-window around the proxy
+                                   # argmin (ops/cert.py parabola fit)
+    verify_band: str = "march",    # band rays under verify_mode="cert":
+                                   # "march" — full-decoder march from sphere
+                                   # entry (margin error ~1-2e-3: sampling
+                                   # density rises as f falls, so the dip is
+                                   # densely sampled). "probe" — 3-probe
+                                   # parabola at the proxy argmin (ops/
+                                   # cert.py): ~15x cheaper but margin error
+                                   # is bounded by ~2x the PROXY's field
+                                   # error on grazing dips (the argmin is
+                                   # ill-conditioned where the dip is flat;
+                                   # measured on the toy test proxy e_p95
+                                   # 7e-3: probe-vs-true max 9.4e-3 vs the
+                                   # march's 2.9e-3 — scripts/
+                                   # debug_band_probe.py). Only flip to
+                                   # "probe" with a proxy whose p95 error
+                                   # keeps 2e below the margin fidelity you
+                                   # need; hit/miss verdicts stay genuine
+                                   # either way (probed band rays with dip
+                                   # <= 0 re-march seeded).
 ) -> Tuple[jax.Array, ...]:
     """Coarse-to-fine classified BATCHED rendering — the full config-#5
     pipeline: coarse levels, classification, and the final march all run
@@ -1014,10 +1040,13 @@ def render_batched_c2f(
             unres = fine[k]
         return d, hit, msdf, dam, lastf, steps, unres
 
+    # band probing needs the proxy argmin anchor — a dam payload in the
+    # proxy stage's repack sorts the march-band mode doesn't pay for
+    need_anchor = verify and verify_mode == "cert" and verify_band == "probe"
     d, hit, msdf, dam, lastf, steps, unres = fine_stage(
         shared_m, bank_m, key, init_depth, diag if with_diag else None,
-        block_m, want_anchor=return_anchor, want_steps=return_steps,
-        want_last=return_last, want_unres=verify,
+        block_m, want_anchor=return_anchor or need_anchor,
+        want_steps=return_steps, want_last=return_last, want_unres=verify,
     )
     # skip rays never marched: margin/anchor/last from the coarse level
     msdf = jnp.where(skip, margin, msdf)
@@ -1044,25 +1073,45 @@ def render_batched_c2f(
         if verify_mode == "cert":
             from dist_renderer_tpu.ops.cert import certify_hits_batched
 
+            probe_band = verify_band == "probe"
             cert = certify_hits_batched(
                 shared, bank, o_in, dirs, d, seeded, march,
                 delta=proxy_backoff, block=block, interpret=interpret,
+                band=band if probe_band else None,
+                anchor=dam if probe_band else None, band_w=proxy_band_w,
             )
             certified = cert.certified
-            demoted = seeded & ~certified & ~cert.overflow
+            hit_over = cert.overflow & seeded
+            band_over = cert.overflow & band
+            demoted = seeded & ~certified & ~hit_over
+            promoted = cert.promoted
+            probed_miss = band & ~band_over & ~promoted if probe_band \
+                else jnp.zeros_like(band)
+            band_march = band if not probe_band else band_over
+            # march fallbacks are all SEEDED (class 1, the cheap march
+            # class — exactly verify_mode="march"'s treatment of hits):
+            # demoted/overflow hits at d - backoff, promoted band rays at
+            # the probe-estimated dip minus backoff. Unres rays (class 0,
+            # continue from d) and band rays not probe-handled (class 0,
+            # sphere entry) run an open-ended march.
             key2 = jnp.where(
-                cert.overflow, 1,
-                jnp.where((hitish & ~certified) | band, 0, 2),
+                hit_over | demoted | promoted, 1,
+                jnp.where(unres | band_march, 0, 2),
             ).astype(jnp.int32)
             seed2 = jnp.where(
-                cert.overflow, d - proxy_backoff,
-                jnp.where(unres, d, jnp.nan),  # band/demoted: sphere entry
+                promoted, cert.band_tmin - proxy_backoff,
+                jnp.where(
+                    hit_over | demoted, d - proxy_backoff,
+                    jnp.where(unres, d, jnp.nan),
+                ),
             )
             if with_diag:
                 diag["cert_frac"] = (
                     jnp.sum(certified) / jnp.maximum(jnp.sum(seeded), 1)
                 )
                 diag["cert_demoted"] = jnp.sum(demoted)
+                diag["cert_promoted"] = jnp.sum(promoted)
+                diag["cert_band_probed"] = jnp.sum(probed_miss)
         else:
             key2 = jnp.where(
                 seeded, 1, jnp.where(hitish | band, 0, 2)
@@ -1083,24 +1132,37 @@ def render_batched_c2f(
         act2 = key2 != 2
         if certified is not None:
             # certified rays: full-decoder secant depth + bracket values
-            # from the cert probes; they never touched the re-march
+            # from the cert probes; probed-miss band rays: full-decoder
+            # dip-minimum margins; neither touched the re-march
             d = jnp.where(act2, d2, jnp.where(certified, cert.depth, d))
             hit = jnp.where(act2, hit2, certified)
             msdf = jnp.where(
                 act2, msdf2,
-                jnp.where(certified, jnp.minimum(msdf, cert.f_inside), msdf),
+                jnp.where(
+                    certified, jnp.minimum(msdf, cert.f_inside),
+                    jnp.where(probed_miss, cert.band_margin, msdf),
+                ),
             )
             if dam is not None and dam2 is not None:
                 dam = jnp.where(
-                    act2, dam2, jnp.where(certified, cert.depth, dam)
+                    act2, dam2,
+                    jnp.where(
+                        certified, cert.depth,
+                        jnp.where(probed_miss, cert.band_tmin, dam),
+                    ),
                 )
             if steps is not None and steps2 is not None:
                 steps = steps + jnp.where(
-                    act2, steps2, jnp.where(certified, 2, 0)
+                    act2, steps2,
+                    jnp.where(certified | probed_miss, 3, 0),
                 )
             if lastf is not None and lastf2 is not None:
                 lastf = jnp.where(
-                    act2, lastf2, jnp.where(certified, cert.f_inside, lastf)
+                    act2, lastf2,
+                    jnp.where(
+                        certified, cert.f_inside,
+                        jnp.where(probed_miss, cert.band_margin, lastf),
+                    ),
                 )
                 unres = jnp.where(act2, unres2, False)
         else:

@@ -666,6 +666,7 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig,
                     proxy_backoff=march.proxy_backoff,
                     proxy_band=march.proxy_band,
                     verify_mode=march.proxy_verify_mode,
+                    verify_band=march.proxy_verify_band,
                     interpret=interpret,
                 )
                 from dist_renderer_tpu.ops.tracer import (

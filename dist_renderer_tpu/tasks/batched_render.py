@@ -104,6 +104,7 @@ def main(argv=None):
                 proxy_backoff=cfg.march.proxy_backoff,
                 proxy_band=cfg.march.proxy_band,
                 verify_mode=cfg.march.proxy_verify_mode,
+                verify_band=cfg.march.proxy_verify_band,
                 interpret=jax.default_backend() != "tpu",
             )[:2]
 

@@ -1,20 +1,13 @@
-"""Cost attribution for the proxy pipeline at batch: time
-render_batched_c2f under controlled ablations (one compiled fn each):
+"""Band-margin fidelity of verify_band='probe' vs 'march' on the BENCH
+proxy (the production question; the toy test proxy's error is ~3x
+larger). Also reports hit agreement and promoted/demoted accounting.
 
-  full          — no proxy (the r3 baseline path)
-  proxy         — proxy march + full-decoder verify (production)
-  proxy-nv      — proxy march, verify SKIPPED (diagnostics only): the
-                  delta vs `proxy` is the verify stage's true cost, the
-                  delta vs `full` is the proxy march's true saving
-  proxy-bN      — production verify, proxy_block=N (wide proxy blocks)
-
-  python scripts/diag_proxy_ab.py [--frames 8] [--blocks 1024,2048]
+  python scripts/diag_band_fidelity.py [--img 512] [--frames 8] [--cpu]
 """
 
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
@@ -29,7 +22,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--frames", type=int, default=8)
-    ap.add_argument("--blocks", default="1024,2048")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -48,6 +40,7 @@ def main():
     proxy = load_proxy_npz("/root/repo/.bench_proxy.npz")
     meta = load_proxy_meta("/root/repo/.bench_proxy.npz")
     pbo, pband = proxy_march_margins(meta, 2e-3) if meta else (0.015, 0.02)
+    print(f"bench proxy err: {meta}")
 
     img, F = args.img, args.frames
     cam = Camera.looking_at((0.0, 0.0, -2.5), focal=img * 1.2,
@@ -62,36 +55,36 @@ def main():
                         c2f_coarse_steps=16)
     interp = jax.default_backend() != "tpu"
 
-    def run(tag, **kw):
+    def run(**kw):
         fn = jax.jit(lambda l, o_, v_: render_batched_c2f(
             params, dcfg, l,
             jnp.broadcast_to(o_, (F,) + o_.shape[1:]),
             jnp.broadcast_to(v_, (F,) + v_.shape[1:]),
             (img, img), march, strides=(16, 4), coarse_steps=16,
-            shared_origin=True, interpret=interp, **kw,
-        )[:2])
-        d, h = fn(lat, ob, vb)
-        float(jnp.sum(d))
-        t0 = time.perf_counter()
-        for _ in range(3):
-            d, h = fn(lat, ob, vb)
-        jax.block_until_ready(d)
-        float(jnp.sum(d))
-        dt = (time.perf_counter() - t0) / 3 / F
-        print(f"[{tag:12s}] {dt*1e3:7.2f} ms/frame "
-              f"hits={int(np.asarray(h).sum())/F:.0f}", flush=True)
+            shared_origin=True, interpret=interp, proxy=proxy,
+            proxy_backoff=pbo, proxy_band=pband, **kw,
+        )[:3])
+        d, h, ms = fn(lat, ob, vb)
+        return np.asarray(d), np.asarray(h), np.asarray(ms)
 
-    pkw = dict(proxy=proxy, proxy_backoff=pbo, proxy_band=pband)
-    run("full")
-    run("cert+bandm", **pkw)                       # production default
-    run("cert+bandp", verify_band="probe", **pkw)
-    run("proxy-march", verify_mode="march", **pkw)
-    run("proxy-nv", proxy_verify=False, **pkw)
-    for b in args.blocks.split(","):
-        b = int(b)
-        run(f"cert-b{b}", proxy_block=b, **pkw)
-        run(f"certp-b{b}", proxy_block=b, verify_band="probe", **pkw)
-        run(f"nv-b{b}", proxy_block=b, proxy_verify=False, **pkw)
+    d_m, h_m, ms_m = run(verify_band="march")
+    d_p, h_p, ms_p = run(verify_band="probe")
+
+    agree = (h_m == h_p).mean()
+    flips = int((h_m != h_p).sum())
+    print(f"hit agreement {agree:.6f} ({flips} flips / {h_m.size})")
+    mboth = ~h_m & ~h_p
+    near = ms_m < pband
+    sel = mboth & near
+    if sel.any():
+        dd = np.abs(ms_p[sel] - ms_m[sel])
+        print(f"band rays {int(sel.sum())}: margin |probe-march| "
+              f"p50 {np.median(dd):.2e} p95 {np.percentile(dd, 95):.2e} "
+              f"max {dd.max():.2e}")
+    hb = h_m & h_p
+    de = np.abs(d_p - d_m)[hb]
+    print(f"hit depth |probe-march| p50 {np.median(de):.2e} "
+          f"p95 {np.percentile(de, 95):.2e} max {de.max():.2e}")
 
 
 if __name__ == "__main__":

@@ -315,6 +315,70 @@ def test_cert_demotion_fallback(decoders, exact):
     assert np.median(err) < 3e-3
 
 
+def test_cert_band_probe_mode(decoders, exact):
+    """verify_band='probe' (3-probe parabola at the proxy argmin,
+    ops/cert.py) — the cheap band mode. Hit/miss verdicts must stay
+    genuine (dip <= 0 promotes to a seeded full-decoder march); margin
+    error is bounded by ~2x the PROXY's field error on grazing dips
+    (scripts/debug_band_probe.py), so the fidelity bar scales with the
+    fixture proxy's measured p95, unlike the march mode's fixed 5e-3."""
+    from dist_renderer_tpu.ops.camera import pixel_rays
+    from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
+
+    params, z0, dcfg, proxy, pcfg = decoders
+    rep = proxy_error_report(params, dcfg, proxy, pcfg, z0[None], n=8192)
+
+    d_m, h_m, ms_m = _batched(decoders, exact, proxy=(proxy, pcfg),
+                              verify_mode="cert", verify_band="march")
+    d_p, h_p, ms_p = _batched(decoders, exact, proxy=(proxy, pcfg),
+                              verify_mode="cert", verify_band="probe")
+    hm, hp = np.asarray(h_m), np.asarray(h_p)
+    agree = (hm == hp).mean()
+    assert agree > 0.985, f"probe-vs-march hit agreement {agree:.4f}"
+
+    # depth parity on hits unchanged (hits never ride the band path)
+    de = np.asarray(exact.depth).reshape(-1)[None].repeat(2, 0)
+    he = np.asarray(exact.mask).reshape(-1)[None].repeat(2, 0)
+    err_m = np.abs(np.asarray(d_m) - de)[hm & he]
+    err_p = np.abs(np.asarray(d_p) - de)[hp & he]
+    assert np.median(err_p) <= np.median(err_m) * 1.3 + 1e-4
+
+    # band margins: error scales with the proxy's own field error
+    mboth = ~hm & ~hp
+    msf = np.asarray(ms_m)[mboth]
+    msp = np.asarray(ms_p)[mboth]
+    near = msf < MarchConfig().proxy_band
+    if near.any():
+        dd = np.abs(msp[near] - msf[near])
+        assert np.median(dd) < 3e-3, f"median band-margin err {np.median(dd)}"
+        assert dd.max() < 3 * rep["p95"] + 5e-3, (
+            f"band-margin err {dd.max():.4f} vs proxy p95 {rep['p95']:.4f}"
+        )
+
+    # the probe path actually fired (band rays exist at this scene)
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(IMG, IMG))
+    o, v = pixel_rays(cam, IMG, IMG)
+    lat = jnp.stack([z0, z0])
+    ob = jnp.broadcast_to(o[None], (2,) + o.shape)
+    vb = jnp.broadcast_to(v[None], (2,) + v.shape)
+    march = MarchConfig(max_steps=50, convergence_eps=2e-3, depth_eps=5e-4,
+                        coarse_to_fine=True)
+    out = render_batched_c2f(
+        params, dcfg, lat, ob, vb, (IMG, IMG), march, strides=(4,),
+        shared_origin=True, interpret=True, proxy=(proxy, pcfg),
+        verify_mode="cert", verify_band="probe", proxy_band=0.05,
+        with_diag=True,
+    )
+    diag = out[-1]
+    assert int(diag["cert_band_probed"]) > 0, "band probe never exercised"
+    # widening the band to 0.05 on a max-5e-2-error proxy sweeps real
+    # hits into the band: the promotion path must catch them
+    d_w, h_w = out[0], out[1]
+    hw = np.asarray(h_w)
+    agree_w = (hw == he).mean()
+    assert agree_w > 0.985, f"wide-band hit agreement {agree_w:.4f}"
+
+
 def test_cert_overflow_fallback(decoders):
     """Hits beyond the cert bucket must route through the seeded-march
     class (CertResult.overflow), not be dropped: certify directly with a
