@@ -839,6 +839,10 @@ def render_batched_c2f(
                                    # kept as the A/B + fallback path)
     proxy_band_w: float = 0.02,    # band-probe half-window around the proxy
                                    # argmin (ops/cert.py parabola fit)
+    difficulty_repack: Optional[bool] = None,  # rounds-scheduler repack
+                                   # refinement (fine_march_rounds); None =
+                                   # the measured F>=48 gate — exposed for
+                                   # scale-dependence re-measurement
     verify_band: str = "march",    # band rays under verify_mode="cert":
                                    # "march" — full-decoder march from sphere
                                    # entry (margin error ~1-2e-3: sampling
@@ -1026,6 +1030,7 @@ def render_batched_c2f(
             diag=stage_diag, live_frac=live_frac,
             return_anchor=want_anchor, return_steps=want_steps,
             return_last=want_last, return_unres=want_unres,
+            difficulty_repack=difficulty_repack,
         )
         d, hit, msdf = fine[:3]
         k = 3
