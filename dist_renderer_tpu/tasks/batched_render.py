@@ -87,9 +87,18 @@ def main(argv=None):
         reps = (chunk + args.views - 1) // args.views
 
         proxy = None
+        pbo, pband = cfg.march.proxy_backoff, cfg.march.proxy_band
         if args.proxy:
-            from dist_renderer_tpu.models.proxy import load_proxy_npz
+            from dist_renderer_tpu.models.proxy import (
+                load_proxy_meta, load_proxy_npz, proxy_march_margins,
+            )
             proxy = load_proxy_npz(args.proxy)
+            # verify margins are a property of THIS proxy's measured error,
+            # not config constants (same rule as bench.py)
+            meta = load_proxy_meta(args.proxy)
+            if meta:
+                pbo, pband = proxy_march_margins(
+                    meta, cfg.march.convergence_eps)
 
         # rays enter as ARGUMENTS and tile on device: baking the tiled
         # [chunk, N, 3] arrays into the graph as constants blows the
@@ -101,8 +110,7 @@ def main(argv=None):
             return render_batched_c2f(
                 params, dcfg, lat_f, o_chunk, v_chunk,
                 (args.img, args.img), cfg.march, proxy=proxy,
-                proxy_backoff=cfg.march.proxy_backoff,
-                proxy_band=cfg.march.proxy_band,
+                proxy_backoff=pbo, proxy_band=pband,
                 verify_mode=cfg.march.proxy_verify_mode,
                 verify_band=cfg.march.proxy_verify_band,
                 interpret=jax.default_backend() != "tpu",
