@@ -113,13 +113,17 @@ class MarchConfig:
                                     # sampling needs the pre-surface retreat
                                     # (ops/pallas/batched_march.py verify
                                     # docstring)
-    proxy_verify_mode: str = "cert" # "cert": proxy hits certified with 2
+    proxy_verify_mode: str = "march"  # "march": every proxy hit confirmed by
+                                    # a seeded full-decoder march (MEASURED
+                                    # BEST on v5e: 18.3 vs cert's 20.6-23.1
+                                    # ms/frame at 512^2 F=8 — the cert
+                                    # kernel's per-block probe cost + extra
+                                    # glue exceed the ~2.5-step seeded march
+                                    # it replaces; scripts/diag_proxy_ab.py).
+                                    # "cert": proxy hits certified with 2
                                     # dense full-decoder probe evals around
                                     # the proxy depth (ops/cert.py; failures
-                                    # demote to the re-march); "march": every
-                                    # proxy hit confirmed by a seeded full-
-                                    # decoder march (2x verify cost, the A/B
-                                    # fallback)
+                                    # demote to the re-march)
     proxy_verify_band: str = "march"  # band rays under verify_mode="cert":
                                     # "march" (full-decoder march from sphere
                                     # entry — margin error ~1-2e-3) or

@@ -825,18 +825,22 @@ def render_batched_c2f(
                                    # hit/margins carry proxy error — a
                                    # diagnostics/cost-attribution knob, not
                                    # a production mode)
-    verify_mode: str = "cert",     # "cert": dense full-decoder probes do the
+    verify_mode: str = "march",    # "march": every proxy hit confirmed by a
+                                   # seeded full-decoder march, band rays
+                                   # re-marched from sphere entry. MEASURED
+                                   # BEST on v5e (18.3 vs cert's 20.6-23.1
+                                   # ms/frame, 512^2 F=8 —
+                                   # scripts/diag_proxy_ab.py).
+                                   # "cert": dense full-decoder probes do the
                                    # whole verify (ops/cert.py) — 2-probe
                                    # bracket certification of proxy hits +
                                    # 3-probe dip-minimum estimation of band
                                    # rays; only demoted/promoted/overflow
                                    # rays fall back to a SEEDED march and
                                    # only unres rays re-march for real.
-                                   # "march": every proxy hit confirmed by a
-                                   # seeded full-decoder march, band rays
-                                   # re-marched from sphere entry (the
-                                   # round-4 original; ~3x the verify cost —
-                                   # kept as the A/B + fallback path)
+                                   # Fewer full evals on paper, but the probe
+                                   # kernel's per-block cost + glue lose to
+                                   # the seeded march in the full graph.
     proxy_band_w: float = 0.02,    # band-probe half-window around the proxy
                                    # argmin (ops/cert.py parabola fit)
     difficulty_repack: Optional[bool] = None,  # rounds-scheduler repack

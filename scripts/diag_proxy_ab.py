@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--blocks", default="1024,2048")
+    ap.add_argument("--modes", default="full,march,nv",
+                    help="comma list: full,march,cert,certp,nv,"
+                         "march-bN,cert-bN,nv-bN (N from --blocks)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -82,16 +85,26 @@ def main():
               f"hits={int(np.asarray(h).sum())/F:.0f}", flush=True)
 
     pkw = dict(proxy=proxy, proxy_backoff=pbo, proxy_band=pband)
-    run("full")
-    run("cert+bandm", **pkw)                       # production default
-    run("cert+bandp", verify_band="probe", **pkw)
-    run("proxy-march", verify_mode="march", **pkw)
-    run("proxy-nv", proxy_verify=False, **pkw)
+    modes = {
+        "full": lambda: run("full"),
+        "march": lambda: run("proxy-march", verify_mode="march", **pkw),
+        "cert": lambda: run("cert+bandm", verify_mode="cert", **pkw),
+        "certp": lambda: run("cert+bandp", verify_mode="cert",
+                             verify_band="probe", **pkw),
+        "nv": lambda: run("proxy-nv", proxy_verify=False, **pkw),
+    }
     for b in args.blocks.split(","):
+        if not b:
+            continue
         b = int(b)
-        run(f"cert-b{b}", proxy_block=b, **pkw)
-        run(f"certp-b{b}", proxy_block=b, verify_band="probe", **pkw)
-        run(f"nv-b{b}", proxy_block=b, proxy_verify=False, **pkw)
+        modes[f"march-b{b}"] = lambda b=b: run(
+            f"march-b{b}", proxy_block=b, verify_mode="march", **pkw)
+        modes[f"cert-b{b}"] = lambda b=b: run(
+            f"cert-b{b}", proxy_block=b, verify_mode="cert", **pkw)
+        modes[f"nv-b{b}"] = lambda b=b: run(
+            f"nv-b{b}", proxy_block=b, proxy_verify=False, **pkw)
+    for m in args.modes.split(","):
+        modes[m]()
 
 
 if __name__ == "__main__":
