@@ -843,6 +843,17 @@ def render_batched_c2f(
                                    # the seeded march in the full graph.
     proxy_band_w: float = 0.02,    # band-probe half-window around the proxy
                                    # argmin (ops/cert.py parabola fit)
+    verify_round_caps: Optional[Tuple[int, ...]] = None,
+                                   # rounds-scheduler cap schedule for the
+                                   # VERIFY stage (None = round_caps). The
+                                   # verify stage's step distribution is
+                                   # nothing like the main march's — seeded
+                                   # hits converge in ~2-3 full-decoder
+                                   # steps, band/unres rays run long — so
+                                   # its residency-vs-repack-glue optimum
+                                   # sits at different caps (pure
+                                   # scheduling, results bit-identical;
+                                   # sweep scripts/diag_verify_caps.py)
     difficulty_repack: Optional[bool] = None,  # rounds-scheduler repack
                                    # refinement (fine_march_rounds); None =
                                    # the measured F>=48 gate — exposed for
@@ -1009,7 +1020,7 @@ def render_batched_c2f(
 
     def fine_stage(sh, bk, key_s, seed_s, stage_diag, blk,
                    want_anchor=False, want_steps=False, want_last=False,
-                   want_unres=False):
+                   want_unres=False, caps=None, qcaps=None):
         """One scheduler pass; canonical 7-tuple in pixel order:
         (d, hit, msdf, dam, lastf, steps, unres). Un-wanted fields come
         back as None on the rounds scheduler — every extra field rides
@@ -1024,13 +1035,13 @@ def render_batched_c2f(
             # lever; it compacts in-kernel, so every field is free
             d, hit, msdf, dam, lastf, steps, unres = queue_march(
                 sh, bk, o_in, dirs, key_s, seed_s, march,
-                block=min(blk, block), gen_caps=queue_caps,
+                block=min(blk, block), gen_caps=qcaps or queue_caps,
                 dense_frac=queue_dense_frac, interpret=interpret,
             )
             return d, hit, msdf, dam, lastf, steps.astype(jnp.int32), unres
         fine = fine_march_rounds(
             sh, bk, o_in, dirs, key_s, seed_s, march,
-            block=blk, round_caps=round_caps, interpret=interpret,
+            block=blk, round_caps=caps or round_caps, interpret=interpret,
             diag=stage_diag, live_frac=live_frac,
             return_anchor=want_anchor, return_steps=want_steps,
             return_last=want_last, return_unres=want_unres,
@@ -1133,7 +1144,8 @@ def render_batched_c2f(
         d2, hit2, msdf2, dam2, lastf2, steps2, unres2 = fine_stage(
             shared, bank, key2, seed2, vdiag, block,
             want_anchor=return_anchor, want_steps=return_steps,
-            want_last=return_last,
+            want_last=return_last, caps=verify_round_caps,
+            qcaps=verify_round_caps,
         )
         if with_diag:
             diag.update({f"verify_{k_}": v_ for k_, v_ in vdiag.items()})
