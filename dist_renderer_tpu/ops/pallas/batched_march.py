@@ -1094,20 +1094,28 @@ def render_batched_c2f(
             from dist_renderer_tpu.ops.cert import certify_hits_batched
 
             probe_band = verify_band == "probe"
+            # probe only FINE band rays: a skip-class ray's dam/msdf come
+            # from the COARSE pyramid (stride-4/16 samples carried down in
+            # ops/c2f.py), so its argmin anchor localizes the dip only to
+            # a coarse cell — a ±band_w probe window there reads the wrong
+            # part of the field (the measured p95 9.7e-2 probe-vs-march
+            # margin error). Skip∩band rays keep the entry-seeded march.
+            probeable = band & ~skip
             cert = certify_hits_batched(
                 shared, bank, o_in, dirs, d, seeded, march,
                 delta=proxy_backoff, block=block, interpret=interpret,
-                band=band if probe_band else None,
+                band=probeable if probe_band else None,
                 anchor=dam if probe_band else None, band_w=proxy_band_w,
             )
             certified = cert.certified
             hit_over = cert.overflow & seeded
-            band_over = cert.overflow & band
+            band_over = cert.overflow & probeable
             demoted = seeded & ~certified & ~hit_over
             promoted = cert.promoted
-            probed_miss = band & ~band_over & ~promoted if probe_band \
+            probed_miss = probeable & ~band_over & ~promoted if probe_band \
                 else jnp.zeros_like(band)
-            band_march = band if not probe_band else band_over
+            band_march = band if not probe_band else (
+                band_over | (band & skip))
             # march fallbacks are all SEEDED (class 1, the cheap march
             # class — exactly verify_mode="march"'s treatment of hits):
             # demoted/overflow hits at d - backoff, promoted band rays at

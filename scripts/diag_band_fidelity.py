@@ -67,8 +67,8 @@ def main():
         d, h, ms = fn(lat, ob, vb)
         return np.asarray(d), np.asarray(h), np.asarray(ms)
 
-    d_m, h_m, ms_m = run(verify_band="march")
-    d_p, h_p, ms_p = run(verify_band="probe")
+    d_m, h_m, ms_m = run(verify_mode="march")
+    d_p, h_p, ms_p = run(verify_mode="cert", verify_band="probe")
 
     agree = (h_m == h_p).mean()
     flips = int((h_m != h_p).sum())

@@ -36,6 +36,14 @@ def main():
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--caps", default="4,12|2,6,16|2,4,12|3,8,24")
+    ap.add_argument("--backoffs", default=None,
+                    help="comma list of proxy_backoff values to cross with "
+                         "--caps (default: the meta-derived backoff only). "
+                         "0 = seed the hit-verify AT the proxy depth: the "
+                         "march body's |f|<eps test accepts ~55%% of hits "
+                         "at eval 1 (proxy field err p50 1.2e-3 < eps "
+                         "2e-3), so a cap-1 round 0 + repack stops paying "
+                         "residency-max on already-converged lanes")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -68,16 +76,19 @@ def main():
                         c2f_coarse_steps=16)
     interp = jax.default_backend() != "tpu"
 
+    backoffs = ([float(b) for b in args.backoffs.split(",")]
+                if args.backoffs else [pbo])
     ref = None
-    for spec in args.caps.split("|"):
+    for bo in backoffs:
+      for spec in args.caps.split("|"):
         vcaps = tuple(int(c) for c in spec.split(","))
-        fn = jax.jit(lambda l, o_, v_, vc=vcaps: render_batched_c2f(
+        fn = jax.jit(lambda l, o_, v_, vc=vcaps, bo=bo: render_batched_c2f(
             params, dcfg, l,
             jnp.broadcast_to(o_, (F,) + o_.shape[1:]),
             jnp.broadcast_to(v_, (F,) + v_.shape[1:]),
             (img, img), march, strides=(16, 4), coarse_steps=16,
             shared_origin=True, interpret=interp,
-            proxy=proxy, proxy_backoff=pbo, proxy_band=pband,
+            proxy=proxy, proxy_backoff=bo, proxy_band=pband,
             verify_mode="march", verify_round_caps=vc,
         )[:2])
         d, h = fn(lat, ob, vb)
@@ -96,7 +107,7 @@ def main():
             flips = int((h_np != ref[1]).sum())
             dmax = float(np.abs(np.where(h_np & ref[1], d_np - ref[0], 0)).max())
             agree = f"flips={flips} dmax={dmax:.1e}"
-        print(f"[vcaps {spec:>9s}] {dt*1e3:7.2f} ms/frame "
+        print(f"[bo {bo:.4f} vcaps {spec:>9s}] {dt*1e3:7.2f} ms/frame "
               f"hits={int(h_np.sum())/F:.0f} {agree}", flush=True)
 
 
