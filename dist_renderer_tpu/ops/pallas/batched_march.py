@@ -858,7 +858,11 @@ def render_batched_c2f(
                                    # refinement (fine_march_rounds); None =
                                    # the measured F>=48 gate — exposed for
                                    # scale-dependence re-measurement
-    verify_band: str = "march",    # band rays under verify_mode="cert":
+    verify_band: str = "march",    # band-ray treatment (applies under BOTH
+                                   # verify modes; with verify_mode="march"
+                                   # + "probe" this is the HYBRID: hits keep
+                                   # the seeded confirmation march, only
+                                   # band rays ride ops/cert.py):
                                    # "march" — full-decoder march from sphere
                                    # entry (margin error ~1-2e-3: sampling
                                    # density rises as f falls, so the dip is
@@ -1062,7 +1066,7 @@ def render_batched_c2f(
 
     # band probing needs the proxy argmin anchor — a dam payload in the
     # proxy stage's repack sorts the march-band mode doesn't pay for
-    need_anchor = verify and verify_mode == "cert" and verify_band == "probe"
+    need_anchor = verify and verify_band == "probe"
     d, hit, msdf, dam, lastf, steps, unres = fine_stage(
         shared_m, bank_m, key, init_depth, diag if with_diag else None,
         block_m, want_anchor=return_anchor or need_anchor,
@@ -1090,10 +1094,19 @@ def render_batched_c2f(
         seeded = hit & ~unres
         band = (~hitish) & (msdf < proxy_band)
         certified = None
-        if verify_mode == "cert":
+        probe_band = verify_band == "probe"
+        if verify_mode == "cert" or probe_band:
             from dist_renderer_tpu.ops.cert import certify_hits_batched
 
-            probe_band = verify_band == "probe"
+            # verify_mode="march" + verify_band="probe" is the HYBRID:
+            # hits keep the seeded confirmation march (measured best),
+            # band rays take the 3-probe parabola instead of the entry-
+            # seeded re-march (~2 probe evals vs a full cap-budget march
+            # residency). Passing an all-False seeded set makes every
+            # proxy hit fall out of cert as "demoted" -> class-1 seeded
+            # march at d - backoff, which IS the march-mode treatment.
+            cert_hits = (seeded if verify_mode == "cert"
+                         else jnp.zeros_like(seeded))
             # probe only FINE band rays: a skip-class ray's dam/msdf come
             # from the COARSE pyramid (stride-4/16 samples carried down in
             # ops/c2f.py), so its argmin anchor localizes the dip only to
@@ -1102,8 +1115,12 @@ def render_batched_c2f(
             # margin error). Skip∩band rays keep the entry-seeded march.
             probeable = band & ~skip
             cert = certify_hits_batched(
-                shared, bank, o_in, dirs, d, seeded, march,
+                shared, bank, o_in, dirs, d, cert_hits, march,
                 delta=proxy_backoff, block=block, interpret=interpret,
+                # band-only probing (hybrid) fits a much tighter bucket:
+                # band rays are ~3-6% of N (vs hits ~21%); overflow rays
+                # fall back to the entry-seeded march either way
+                bucket_frac=4 if verify_mode == "cert" else 8,
                 band=probeable if probe_band else None,
                 anchor=dam if probe_band else None, band_w=proxy_band_w,
             )

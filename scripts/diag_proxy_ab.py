@@ -31,8 +31,14 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--blocks", default="1024,2048")
     ap.add_argument("--modes", default="full,march,nv",
-                    help="comma list: full,march,cert,certp,nv,"
-                         "march-bN,cert-bN,nv-bN (N from --blocks)")
+                    help="comma list: full,march,hybrid,cert,certp,nv,"
+                         "march-bN,hybrid-bN,cert-bN,nv-bN (N from "
+                         "--blocks). hybrid = verify_mode='march' + "
+                         "verify_band='probe' (seeded hit march, 3-probe "
+                         "band)")
+    ap.add_argument("--vcaps", default=None,
+                    help="verify_round_caps, e.g. 1,3,8,24 (default None "
+                         "= main round_caps)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -85,9 +91,14 @@ def main():
               f"hits={int(np.asarray(h).sum())/F:.0f}", flush=True)
 
     pkw = dict(proxy=proxy, proxy_backoff=pbo, proxy_band=pband)
+    if args.vcaps:
+        pkw["verify_round_caps"] = tuple(
+            int(c) for c in args.vcaps.split(","))
     modes = {
         "full": lambda: run("full"),
         "march": lambda: run("proxy-march", verify_mode="march", **pkw),
+        "hybrid": lambda: run("hybrid", verify_mode="march",
+                              verify_band="probe", **pkw),
         "cert": lambda: run("cert+bandm", verify_mode="cert", **pkw),
         "certp": lambda: run("cert+bandp", verify_mode="cert",
                              verify_band="probe", **pkw),
@@ -99,6 +110,9 @@ def main():
         b = int(b)
         modes[f"march-b{b}"] = lambda b=b: run(
             f"march-b{b}", proxy_block=b, verify_mode="march", **pkw)
+        modes[f"hybrid-b{b}"] = lambda b=b: run(
+            f"hybrid-b{b}", proxy_block=b, verify_mode="march",
+            verify_band="probe", **pkw)
         modes[f"cert-b{b}"] = lambda b=b: run(
             f"cert-b{b}", proxy_block=b, verify_mode="cert", **pkw)
         modes[f"nv-b{b}"] = lambda b=b: run(

@@ -379,6 +379,47 @@ def test_cert_band_probe_mode(decoders, exact):
     assert agree_w > 0.985, f"wide-band hit agreement {agree_w:.4f}"
 
 
+def test_hybrid_march_probe_band(decoders, exact):
+    """The HYBRID verify: verify_mode='march' + verify_band='probe' —
+    proxy hits keep the seeded full-decoder confirmation march (the
+    measured-best hit treatment) while band rays take ops/cert.py's
+    3-probe parabola instead of an entry-seeded re-march. Hits must
+    match pure march-mode verify near-exactly (same seeded march; only
+    block packing differs once band rays leave the march), and band
+    margins must meet the probe fidelity bounds."""
+    params, z0, dcfg, proxy, pcfg = decoders
+    rep = proxy_error_report(params, dcfg, proxy, pcfg, z0[None], n=8192)
+
+    d_m, h_m, ms_m = _batched(decoders, exact, proxy=(proxy, pcfg),
+                              verify_mode="march", verify_band="march")
+    d_h, h_h, ms_h = _batched(decoders, exact, proxy=(proxy, pcfg),
+                              verify_mode="march", verify_band="probe")
+    hm, hh = np.asarray(h_m), np.asarray(h_h)
+    agree = (hm == hh).mean()
+    assert agree > 0.985, f"hybrid-vs-march hit agreement {agree:.4f}"
+
+    # hit depths: the same seeded march on both sides — only packing
+    # (and thus cap-edge salvage) can differ
+    both = hm & hh
+    dd = np.abs(np.asarray(d_m) - np.asarray(d_h))[both]
+    assert np.median(dd) < 1e-5, f"hybrid hit-depth median {np.median(dd)}"
+    assert np.quantile(dd, 0.99) < 5e-3, (
+        f"hybrid hit-depth p99 {np.quantile(dd, 0.99)}"
+    )
+
+    # band margins: probe fidelity bounds (scale with the proxy's error)
+    mboth = ~hm & ~hh
+    msf = np.asarray(ms_m)[mboth]
+    msp = np.asarray(ms_h)[mboth]
+    near = msf < MarchConfig().proxy_band
+    if near.any():
+        err = np.abs(msp[near] - msf[near])
+        assert np.median(err) < 3e-3, f"median band-margin err {np.median(err)}"
+        assert err.max() < 3 * rep["p95"] + 5e-3, (
+            f"band-margin err {err.max():.4f} vs proxy p95 {rep['p95']:.4f}"
+        )
+
+
 def test_cert_overflow_fallback(decoders):
     """Hits beyond the cert bucket must route through the seeded-march
     class (CertResult.overflow), not be dropped: certify directly with a
