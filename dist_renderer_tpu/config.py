@@ -142,6 +142,15 @@ class MarchConfig:
                                     # dominant verify cost and scale
                                     # linearly with this (bench proxy: max
                                     # 7.3e-3 -> band 0.012)
+    proxy_verify_caps: Optional[Tuple[int, ...]] = None
+                                    # round caps (rounds scheduler) / gen caps
+                                    # (queue) for the VERIFY stage only; None
+                                    # = the main schedule. The verify step
+                                    # distribution is bimodal (seeded hits
+                                    # ~1-3 evals, band/unres long), so a tiny
+                                    # round 0 + repack stops straggler
+                                    # residency-max on converged lanes
+                                    # (scripts/diag_verify_caps.py)
 
 
 @dataclasses.dataclass(frozen=True)

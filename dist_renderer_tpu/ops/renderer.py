@@ -667,6 +667,7 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig,
                     proxy_band=march.proxy_band,
                     verify_mode=march.proxy_verify_mode,
                     verify_band=march.proxy_verify_band,
+                    verify_round_caps=march.proxy_verify_caps,
                     interpret=interpret,
                 )
                 from dist_renderer_tpu.ops.tracer import (

@@ -29,6 +29,13 @@ def main():
     ap.add_argument("--frames", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--scheduler", default="auto")
+    ap.add_argument("--backoff", type=float, default=None,
+                    help="override the meta-derived proxy_backoff (0 = "
+                         "seed the hit-verify AT the proxy depth)")
+    ap.add_argument("--vcaps", default=None,
+                    help="verify_round_caps, e.g. 1,4,12")
+    ap.add_argument("--band", default=None, choices=["march", "probe"],
+                    help="verify_band mode (probe = hybrid)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -46,6 +53,14 @@ def main():
     proxy, pcfg = load_proxy_npz("/root/repo/.bench_proxy.npz")
     meta = load_proxy_meta("/root/repo/.bench_proxy.npz")
     pbo, pband = proxy_march_margins(meta, 2e-3) if meta else (0.015, 0.02)
+    if args.backoff is not None:
+        pbo = args.backoff
+    vkw = {}
+    if args.vcaps:
+        vkw["verify_round_caps"] = tuple(
+            int(c) for c in args.vcaps.split(","))
+    if args.band:
+        vkw["verify_band"] = args.band
 
     img, F = args.img, args.frames
     cam = Camera.looking_at((0.0, 0.0, -2.5), focal=img * 1.2,
@@ -71,7 +86,7 @@ def main():
             shared_origin=True, return_steps=True, return_last=True,
             proxy=proxy_arg, proxy_backoff=pbo, proxy_band=pband,
             scheduler=args.scheduler,
-            interpret=interp,
+            interpret=interp, **vkw,
         ))
         out = fn(lat, ob, vb)
         float(jnp.sum(out[0]))  # arm the sync
@@ -100,7 +115,7 @@ def main():
         (img, img), march, strides=(16, 4), coarse_steps=16,
         shared_origin=True, with_diag=True, proxy=(proxy, pcfg),
         proxy_backoff=pbo, proxy_band=pband,
-        scheduler="rounds", interpret=interp,
+        scheduler="rounds", interpret=interp, **vkw,
     )[-1])
     diag = diag_fn(lat, ob, vb)
     pk = np.asarray(diag["plan_key"])

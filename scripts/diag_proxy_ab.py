@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--vcaps", default=None,
                     help="verify_round_caps, e.g. 1,3,8,24 (default None "
                          "= main round_caps)")
+    ap.add_argument("--backoff", type=float, default=None,
+                    help="override the meta-derived proxy_backoff (0 = "
+                         "seed the hit-verify AT the proxy depth; pairs "
+                         "with --vcaps 1,... — scripts/diag_verify_caps)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -57,6 +61,8 @@ def main():
     proxy = load_proxy_npz("/root/repo/.bench_proxy.npz")
     meta = load_proxy_meta("/root/repo/.bench_proxy.npz")
     pbo, pband = proxy_march_margins(meta, 2e-3) if meta else (0.015, 0.02)
+    if args.backoff is not None:
+        pbo = args.backoff
 
     img, F = args.img, args.frames
     cam = Camera.looking_at((0.0, 0.0, -2.5), focal=img * 1.2,

@@ -476,3 +476,65 @@ def test_cert_overflow_fallback(decoders):
     pts = oc[cert_np[0]] + d_np[0][cert_np[0], None] * vc[cert_np[0]]
     f = np.asarray(decoder_apply(params, z0, jnp.asarray(pts), dcfg))
     assert np.percentile(np.abs(f), 95) < 2e-3, np.percentile(np.abs(f), 95)
+
+
+def test_verify_caps_are_schedule_tolerant(decoders, exact):
+    """verify_round_caps (MarchConfig.proxy_verify_caps at the renderer
+    surface) retime the verify stage's rounds. Unlike the queue kernel
+    (which threads the FULL march carry across generations and is
+    bit-exact), the rounds scheduler re-seeds each round from (depth,
+    live) only — a bracketed-but-unconverged ray crossing a round
+    boundary restarts its secant, so different schedules may wiggle
+    late-converging rays WITHIN march tolerance. Contract: hit masks
+    agree (no flips at this fixture), common-hit depths within a few
+    depth_eps."""
+    base = _batched(decoders, exact, proxy=(decoders[3], decoders[4]))
+    for caps in ((1, 4, 12), (1, 2, 6, 16)):
+        d, h, _ = _batched(decoders, exact, proxy=(decoders[3], decoders[4]),
+                           verify_round_caps=caps)
+        hb, hc = np.asarray(base[1]), np.asarray(h)
+        flips = (hb != hc).mean()
+        assert flips <= 0.005, f"caps {caps}: hit flips {flips:.4f}"
+        both = hb & hc
+        dd = np.abs(np.asarray(base[0]) - np.asarray(d))[both]
+        assert np.percentile(dd, 99) < 2e-3, (
+            f"caps {caps}: p99 hit-depth delta {np.percentile(dd, 99):.2e}"
+        )
+
+
+def test_zero_backoff_verify_parity(decoders, exact):
+    """proxy_backoff=0 seeds the hit-verify AT the proxy depth: the march
+    body accepts ~half the seeds at eval 1 (|f_full| < eps), inside-seeds
+    recover via the backward walk (d+f) -> bracket -> secant. The RAW
+    accepted depth then carries up to the proxy's own displacement (the
+    |f|<eps ball is wider where the learned gradient is shallow), so the
+    honest bar is the production one: post-polish parity on the full
+    render() path — same 1e-3 p95 as test_proxy_verified_march_parity —
+    driven through MarchConfig.proxy_backoff/proxy_verify_caps (the new
+    config plumbing) rather than raw kernel kwargs."""
+    params, z0, dcfg, proxy, pcfg = decoders
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(IMG, IMG))
+    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+    cfg = RenderConfig(
+        img_h=IMG, img_w=IMG,
+        march=MarchConfig(
+            max_steps=50, convergence_eps=2e-3, depth_eps=5e-4,
+            coarse_to_fine=True, scheduler="queue",
+            proxy_backoff=0.0, proxy_verify_caps=(1, 2, 6, 16),
+        ),
+        grad=GradConfig(mode="ift", polish_iters=2),
+        compute_dtype="bfloat16", use_pallas=True,
+    )
+    fac = make_march_factory(params, dcfg, cfg, march_params=proxy,
+                             march_dcfg=pcfg)
+    fast = render(sdf_fn, z0, cam, cfg, fac)
+
+    eh, fh = np.asarray(exact.mask), np.asarray(fast.mask)
+    both = eh & fh
+    agree = (eh == fh).mean()
+    assert agree > 0.985, f"zero-backoff hit agreement {agree:.4f}"
+    derr = np.abs(np.asarray(fast.depth) - np.asarray(exact.depth))
+    assert np.median(derr[both]) < 2e-4
+    frontal = np.abs(np.asarray(exact.normal)[..., 2]) > 0.2
+    p95 = np.percentile(derr[both & frontal], 95)
+    assert p95 < 1e-3, f"zero-backoff post-polish p95 depth err {p95:.2e}"
