@@ -235,6 +235,8 @@ def main():
                 proxy_band=cfg.march.proxy_band,
                 verify_mode=cfg.march.proxy_verify_mode,
                 verify_band=cfg.march.proxy_verify_band,
+                verify_round_caps=cfg.march.proxy_verify_caps,
+                proxy_block=cfg.march.proxy_block_width,
                 shared_origin=True))  # pinhole: one origin per frame
             float(jnp.sum(fb(lat_b, ob, vb)[0]))
             t0 = time.perf_counter()

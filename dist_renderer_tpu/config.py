@@ -151,6 +151,19 @@ class MarchConfig:
                                     # round 0 + repack stops straggler
                                     # residency-max on converged lanes
                                     # (scripts/diag_verify_caps.py)
+    proxy_block_width: Optional[int] = None
+                                    # Pallas block (ray lanes) for the PROXY
+                                    # march stage only; None = the main
+                                    # block (512). The proxy's weights are
+                                    # ~20x smaller, so wider blocks amortize
+                                    # the march's per-block VPU machinery
+                                    # (2.36 us/512 lanes at 512 vs 2.00 at
+                                    # 2048 on uniform work) — but block
+                                    # residency is a max over the block, so
+                                    # width also coarsens the work grouping.
+                                    # Rounds scheduler only (the queue
+                                    # kernel's compaction one-hots scale as
+                                    # block^2 in VMEM).
 
 
 @dataclasses.dataclass(frozen=True)

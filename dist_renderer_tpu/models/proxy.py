@@ -247,12 +247,12 @@ def save_proxy_npz(path: str, proxy: Params, pcfg: DecoderConfig,
 def load_proxy_meta(path: str) -> Optional[Dict[str, float]]:
     """Error-report quantiles stored alongside the cached weights (None
     for caches written before the report was recorded)."""
-    data = np.load(path)
-    if "err_quantiles" not in data:
-        return None
-    q = data["err_quantiles"]
-    return {"p50": float(q[0]), "p95": float(q[1]), "p99": float(q[2]),
-            "max": float(q[3])}
+    with np.load(path) as data:
+        if "err_quantiles" not in data:
+            return None
+        q = data["err_quantiles"]
+        return {"p50": float(q[0]), "p95": float(q[1]), "p99": float(q[2]),
+                "max": float(q[3])}
 
 
 def proxy_march_margins(err_report: Dict[str, float],
@@ -278,22 +278,22 @@ def proxy_march_margins(err_report: Dict[str, float],
 
 
 def load_proxy_npz(path: str) -> Tuple[Params, DecoderConfig]:
-    data = np.load(path)
-    layers = []
-    i = 0
-    while f"w{i}" in data:
-        layers.append({"w": jnp.asarray(data[f"w{i}"]),
-                       "b": jnp.asarray(data[f"b{i}"])})
-        i += 1
-    flags = data["flags"]
-    pcfg = DecoderConfig(
-        latent_size=int(data["latent_size"]),
-        hidden_dims=tuple(int(d) for d in data["hidden_dims"]),
-        latent_in=tuple(int(d) for d in data["latent_in"]),
-        use_tanh=bool(flags[0]),
-        final_tanh=bool(flags[1]),
-        xyz_in_all=bool(flags[2]),
-    )
+    with np.load(path) as data:
+        layers = []
+        i = 0
+        while f"w{i}" in data:
+            layers.append({"w": jnp.asarray(data[f"w{i}"]),
+                           "b": jnp.asarray(data[f"b{i}"])})
+            i += 1
+        flags = data["flags"]
+        pcfg = DecoderConfig(
+            latent_size=int(data["latent_size"]),
+            hidden_dims=tuple(int(d) for d in data["hidden_dims"]),
+            latent_in=tuple(int(d) for d in data["latent_in"]),
+            use_tanh=bool(flags[0]),
+            final_tanh=bool(flags[1]),
+            xyz_in_all=bool(flags[2]),
+        )
     return {"layers": layers}, pcfg
 
 

@@ -35,9 +35,11 @@ quadratic through the dip:
     margin = the parabola's vertex value (clamped by the sample min
     when the fit is non-convex or the vertex leaves the window).
 
-If the estimated minimum dips <= 0 the full field crosses where the
-proxy read a miss: the ray is PROMOTED to a seeded full-decoder march
-at (t_vertex - delta). Why probing beats the entry-seeded re-march it
+If the estimated minimum dips <= promote_eps (callers pass ~the proxy
+error p99 — the estimate's own error bound, see the promote_eps arg)
+the full field may cross where the proxy read a miss: the ray is
+PROMOTED to a seeded full-decoder march at (t_vertex - delta), whose
+verdict is exact. Why probing beats the entry-seeded re-march it
 replaces: the dip-flatness argument — if |f_proxy - f_full| <= e
 everywhere, the full field at the proxy argmin is within ~2e of the
 true minimum REGARDLESS of how badly the argmin itself is localized
@@ -104,6 +106,20 @@ def certify_hits_batched(
     anchor: Optional[jax.Array] = None,  # [F, N] proxy argmin depth (required
                                          # with band)
     band_w: float = 0.02,                # band probe half-window
+    promote_eps: float = 0.0,            # band rays with estimated dip min
+                                         # <= promote_eps re-march seeded.
+                                         # The parabola vertex carries up to
+                                         # ~2x the PROXY's field error (the
+                                         # dip-flatness bound above: the
+                                         # probe WINDOW is proxy-localized
+                                         # even though probe VALUES are
+                                         # full-decoder), so a true hit with
+                                         # a shallow dip can estimate
+                                         # slightly positive. Callers must
+                                         # pass ~the proxy error p99 (the
+                                         # same quantity as proxy_backoff)
+                                         # for genuine hit/miss verdicts;
+                                         # 0.0 trusts the estimate exactly.
 ) -> CertResult:
     from dist_renderer_tpu.ops.pallas.batched_march import _round_up
     from dist_renderer_tpu.ops.pallas.mlp_eval import pallas_point_eval_banked
@@ -260,7 +276,7 @@ def certify_hits_batched(
     tmin_b = jnp.where(
         band_b, d_b + jnp.where(convex & (q_v < min3), x_v, t3), d_b
     )
-    prom_b = band_b & (marg_b <= 0.0)
+    prom_b = band_b & (marg_b <= promote_eps)
     marg_b = jnp.where(band_b, marg_b, jnp.inf)
 
     scat = lambda base, val: jax.vmap(

@@ -932,6 +932,15 @@ def render_batched_c2f(
 
     from dist_renderer_tpu.ops.c2f import classify_pyramid, plan_from_maps
 
+    # a typo'd mode would silently fall through to the march path and
+    # invalidate A/B measurements (ADVICE r4)
+    if verify_mode not in ("march", "cert"):
+        raise ValueError(f"verify_mode must be 'march' or 'cert', "
+                         f"got {verify_mode!r}")
+    if verify_band not in ("march", "probe"):
+        raise ValueError(f"verify_band must be 'march' or 'probe', "
+                         f"got {verify_band!r}")
+
     f = origins.shape[0]
     h, w = img_hw
     n = h * w
@@ -1123,6 +1132,11 @@ def render_batched_c2f(
                 bucket_frac=4 if verify_mode == "cert" else 8,
                 band=probeable if probe_band else None,
                 anchor=dam if probe_band else None, band_w=proxy_band_w,
+                # the dip estimate carries up to ~2x the proxy's field
+                # error (window mislocalization); promote anything within
+                # backoff (~error p99) of zero so hit/miss verdicts come
+                # from a genuine seeded march, not the estimate's tail
+                promote_eps=proxy_backoff,
             )
             certified = cert.certified
             hit_over = cert.overflow & seeded
@@ -1182,10 +1196,13 @@ def render_batched_c2f(
             # dip-minimum margins; neither touched the re-march
             d = jnp.where(act2, d2, jnp.where(certified, cert.depth, d))
             hit = jnp.where(act2, hit2, certified)
+            # certified-hit msdf is the inside-probe value ALONE: mixing in
+            # the proxy march's running min would retain proxy field error
+            # on a ray whose every other output is full-decoder (ADVICE r4)
             msdf = jnp.where(
                 act2, msdf2,
                 jnp.where(
-                    certified, jnp.minimum(msdf, cert.f_inside),
+                    certified, cert.f_inside,
                     jnp.where(probed_miss, cert.band_margin, msdf),
                 ),
             )

@@ -668,6 +668,7 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig,
                     verify_mode=march.proxy_verify_mode,
                     verify_band=march.proxy_verify_band,
                     verify_round_caps=march.proxy_verify_caps,
+                    proxy_block=march.proxy_block_width,
                     interpret=interpret,
                 )
                 from dist_renderer_tpu.ops.tracer import (

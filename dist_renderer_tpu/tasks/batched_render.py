@@ -114,6 +114,7 @@ def main(argv=None):
                 verify_mode=cfg.march.proxy_verify_mode,
                 verify_band=cfg.march.proxy_verify_band,
                 verify_round_caps=cfg.march.proxy_verify_caps,
+                proxy_block=cfg.march.proxy_block_width,
                 interpret=jax.default_backend() != "tpu",
             )[:2]
 

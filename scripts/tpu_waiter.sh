@@ -6,8 +6,10 @@
 set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/tpu_meas}
+BATCH=${2:-scripts/run_tpu_measurements.sh}
+ATTEMPTS=${3:-6}
 mkdir -p "$OUT"
-for attempt in 1 2 3 4 5 6; do
+for attempt in $(seq 1 "$ATTEMPTS"); do
   echo "[waiter] attempt $attempt: $(date +%H:%M:%S)" >> "$OUT/waiter.log"
   # -k 15: wedged TPU clients sit in futex wait and survive SIGTERM
   # (CLAUDE.md); escalate to SIGKILL so a dead probe can't linger and
@@ -31,12 +33,12 @@ PY
   fi
   if [ $rc -eq 0 ]; then
     echo "[waiter] TPU LIVE at $(date +%H:%M:%S); running batch" >> "$OUT/waiter.log"
-    bash scripts/run_tpu_measurements.sh "$OUT" >> "$OUT/batch.log" 2>&1
+    bash "$BATCH" "$OUT" >> "$OUT/batch.log" 2>&1
     echo "[waiter] batch done rc=$? at $(date +%H:%M:%S)" >> "$OUT/waiter.log"
     exit 0
   fi
   echo "[waiter] attempt $attempt failed rc=$rc; sleeping 480s" >> "$OUT/waiter.log"
   sleep 480
 done
-echo "[waiter] giving up after 6 attempts" >> "$OUT/waiter.log"
+echo "[waiter] giving up after $ATTEMPTS attempts" >> "$OUT/waiter.log"
 exit 1

@@ -538,3 +538,24 @@ def test_zero_backoff_verify_parity(decoders, exact):
     frontal = np.abs(np.asarray(exact.normal)[..., 2]) > 0.2
     p95 = np.percentile(derr[both & frontal], 95)
     assert p95 < 1e-3, f"zero-backoff post-polish p95 depth err {p95:.2e}"
+
+
+def test_verify_mode_validation(decoders):
+    """A typo'd verify_mode/verify_band must raise, not silently fall
+    through to the march path (ADVICE r4)."""
+    from dist_renderer_tpu.ops.camera import pixel_rays
+    from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
+
+    params, z0, dcfg, proxy, pcfg = decoders
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(IMG, IMG))
+    o, v = pixel_rays(cam, IMG, IMG)
+    ob, vb = o[None], v[None]
+    march = MarchConfig(max_steps=50, coarse_to_fine=True)
+    kw = dict(img_hw=(IMG, IMG), march=march, strides=(4,),
+              shared_origin=True, interpret=True, proxy=(proxy, pcfg))
+    with pytest.raises(ValueError, match="verify_mode"):
+        render_batched_c2f(params, dcfg, z0[None], ob, vb,
+                           verify_mode="certs", **kw)
+    with pytest.raises(ValueError, match="verify_band"):
+        render_batched_c2f(params, dcfg, z0[None], ob, vb,
+                           verify_band="probes", **kw)
