@@ -358,6 +358,10 @@ def render_rays(
         # permutation), run the precise path on a static bucket prefix,
         # scatter back; lax.cond falls back to full width whenever hits
         # overflow the bucket, so correctness never depends on the scene.
+        # (A 2-class counting sort — ops/binning.py — was A/B'd here in
+        # round 5 and measured SLOWER than the payload lax.sort at 512^2
+        # on v5e: 3.78 vs 3.17 ms standalone; the cumsum+scatter passes
+        # lose to the fused sort. scripts/diag_compose.py keeps both.)
         key = (~trace.hit).astype(jnp.int32)
         pix = jnp.arange(n, dtype=jnp.int32)
         _, pix_s = jax.lax.sort((key, pix), dimension=0, num_keys=1,

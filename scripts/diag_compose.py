@@ -118,6 +118,18 @@ def main():
     factory = make_march_factory(params, dcfg, cfg, **pkw)
     march_fn = factory(z0)
 
+    # per-jit-call dispatch floor on this deployment (tunnel RPC + host
+    # glue): every standalone piece below pays this once — subtract it
+    # before attributing piece cost, and treat pieces as upper bounds
+    # (inside ONE jit XLA overlaps/fuses them)
+    @jax.jit
+    def piece_noop(x):
+        return x + 1.0
+
+    tiny = jnp.zeros((8,), jnp.float32)
+    t = timeit(lambda: piece_noop(tiny))
+    print(f"  noop jit (dispatch floor): {t*1e3:7.2f} ms", flush=True)
+
     # one real trace, stop-gradient, reused by every piece
     trace_fn = jax.jit(lambda o, v: march_fn.trace_frame(
         o, v, cfg.march, (img, img)))
@@ -144,6 +156,16 @@ def main():
 
     t = timeit(lambda: piece_sort(trace0.hit))
     print(f"  sort (hit-first, [N])    : {t*1e3:7.2f} ms", flush=True)
+
+    # ---- piece: 2-class counting sort (the production path since r5)
+    from dist_renderer_tpu.ops.binning import counting_sort_perm
+
+    @jax.jit
+    def piece_csort(hit):
+        return counting_sort_perm((~hit).astype(jnp.int32), 2)[0][:bucket]
+
+    t = timeit(lambda: piece_csort(trace0.hit))
+    print(f"  csort (2-class counting) : {t*1e3:7.2f} ms", flush=True)
     idx_b = piece_sort(trace0.hit)
 
     # ---- piece: bucket gathers

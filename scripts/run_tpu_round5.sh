@@ -35,4 +35,10 @@ echo "== repack scale gate (VERDICT #5) =="
 timeout 3600 python scripts/diag_repack_scale.py --img 512 --fs 8,32,64 \
   2>"$OUT/repack.err" | tee "$OUT/repack.txt"
 
+echo "== config #5 at stated scale: 1k latents x 16 views @ 512^2 (VERDICT #4) =="
+timeout 3600 python -m dist_renderer_tpu.tasks.batched_render \
+  --params-npz .bench_decoder.npz --latents 1000 --views 16 --img 512 \
+  --fast --pallas --stream --proxy .bench_proxy.npz \
+  2>"$OUT/config5.err" | tee "$OUT/config5.json"
+
 echo "done -> $OUT"
