@@ -166,6 +166,28 @@ def main():
 
     t = timeit(lambda: piece_csort(trace0.hit))
     print(f"  csort (2-class counting) : {t*1e3:7.2f} ms", flush=True)
+
+    # ---- piece: packed single-array sort (key<<20 | pix in ONE int32 —
+    # no payload lanes to move through the sort network; pix < 2^20 at
+    # any production frame size, key is 1 bit)
+    @jax.jit
+    def piece_packsort(hit):
+        packed = ((~hit).astype(jnp.int32) << 20) | jnp.arange(
+            n, dtype=jnp.int32)
+        return (jax.lax.sort(packed, dimension=0)[:bucket]
+                & ((1 << 20) - 1))
+
+    t = timeit(lambda: piece_packsort(trace0.hit))
+    print(f"  packsort (1-array, [N])  : {t*1e3:7.2f} ms", flush=True)
+
+    # ---- piece: static-size nonzero (cumsum + scatter of hit indices
+    # only; order-preserving, same hit-first-prefix contract)
+    @jax.jit
+    def piece_nonzero(hit):
+        return jnp.nonzero(hit, size=bucket, fill_value=n)[0]
+
+    t = timeit(lambda: piece_nonzero(trace0.hit))
+    print(f"  nonzero (size=bucket)    : {t*1e3:7.2f} ms", flush=True)
     idx_b = piece_sort(trace0.hit)
 
     # ---- piece: bucket gathers
