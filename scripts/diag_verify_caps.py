@@ -44,6 +44,13 @@ def main():
                          "at eval 1 (proxy field err p50 1.2e-3 < eps "
                          "2e-3), so a cap-1 round 0 + repack stops paying "
                          "residency-max on already-converged lanes")
+    ap.add_argument("--scheduler", default="rounds",
+                    help="rounds (batched production) / auto (queue at "
+                         "F=1 — verify_round_caps feeds the verify "
+                         "queue's gen_caps there) / queue")
+    ap.add_argument("--queue-caps", default=None,
+                    help="override the MAIN proxy-stage queue gen-cap "
+                         "schedule (F=1 queue scheduler), e.g. '2,6,16'")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -90,6 +97,10 @@ def main():
             shared_origin=True, interpret=interp,
             proxy=proxy, proxy_backoff=bo, proxy_band=pband,
             verify_mode="march", verify_round_caps=vc,
+            scheduler=args.scheduler,
+            **({"queue_caps": tuple(int(c) for c in
+                                    args.queue_caps.split(","))}
+               if args.queue_caps else {}),
         )[:2])
         d, h = fn(lat, ob, vb)
         float(jnp.sum(d))
