@@ -77,7 +77,7 @@ def main():
     )
     interp = jax.default_backend() != "tpu"
 
-    def run(tag, proxy_arg):
+    def run(tag, proxy_arg, **extra):
         fn = jax.jit(lambda l, o_, v_: render_batched_c2f(
             params, dcfg, l,
             jnp.broadcast_to(o_, (F,) + o_.shape[1:]),
@@ -86,7 +86,7 @@ def main():
             shared_origin=True, return_steps=True, return_last=True,
             proxy=proxy_arg, proxy_backoff=pbo, proxy_band=pband,
             scheduler=args.scheduler,
-            interpret=interp, **vkw,
+            interpret=interp, **{**vkw, **extra},
         ))
         out = fn(lat, ob, vb)
         float(jnp.sum(out[0]))  # arm the sync
@@ -132,6 +132,10 @@ def main():
 
     run("full ", None)
     run("proxy", (proxy, pcfg))
+    # UNVERIFIED proxy trace: the proxy-vs-noverify delta is the verify
+    # stage's full cost (kernel + glue) at this F/scheduler — the number
+    # the verify-cap sweeps are trying to shrink
+    run("proxy-noverify", (proxy, pcfg), proxy_verify=False)
 
 
 if __name__ == "__main__":
