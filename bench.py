@@ -41,6 +41,20 @@ def main():
     ap.add_argument("--verify-band", default=None, choices=["march", "probe"],
                     help="band-ray verify mode under verify_mode='cert' "
                          "(MarchConfig.proxy_verify_band; default = config)")
+    ap.add_argument("--polish-iters", type=int, default=None,
+                    help="GradConfig.polish_iters (default 1; 2 under "
+                         "--verify-hits polish — each extra iteration is "
+                         "one fused sdg launch at the recompute bucket)")
+    ap.add_argument("--verify-hits", default=None,
+                    choices=["march", "polish"],
+                    help="proxy-hit verify treatment (MarchConfig."
+                         "proxy_verify_hits): 'polish' skips the seeded "
+                         "hit-confirmation march; compose()'s full-decoder "
+                         "Newton polish re-anchors depth + demotes false "
+                         "hits on the render path, and the batched "
+                         "headline times trace + finalize_hits_batched "
+                         "(the same full-decoder treatment), so both "
+                         "numbers stay genuine")
     args = ap.parse_args()
 
     if args.cpu:
@@ -124,6 +138,8 @@ def main():
             march_kw.update(proxy_backoff=bo, proxy_band=band)
         if args.verify_band:
             march_kw.update(proxy_verify_band=args.verify_band)
+        if args.verify_hits:
+            march_kw.update(proxy_verify_hits=args.verify_hits)
     cfg = RenderConfig(
         img_h=img, img_w=img,
         march=MarchConfig(
@@ -133,9 +149,14 @@ def main():
             **march_kw,
         ),
         # compact_frac: precise recompute + normals/IFT vjp on a hit-first
-        # n/4 bucket instead of full width (lax.cond full-width fallback)
+        # n/4 bucket instead of full width (lax.cond full-width fallback).
+        # polish-verify needs the safeguarded Newton iterations (its hit
+        # verdict + depth re-anchoring live there)
         grad=GradConfig(mode="ift", compact_frac=4,
-                        recompute=args.recompute) if fast
+                        recompute=args.recompute,
+                        polish_iters=(args.polish_iters or 2)
+                        if args.verify_hits == "polish"
+                        else (args.polish_iters or 1)) if fast
         else GradConfig(mode="last_step"),
         compute_dtype="bfloat16" if fast else "float32",
         use_pallas=fast and on_tpu,
@@ -225,19 +246,40 @@ def main():
             # this size exceed the remote-compile request limit)
             ob = jnp.broadcast_to(origins[None], (1,) + origins.shape)
             vb = jnp.broadcast_to(dirs[None], (1,) + dirs.shape)
-            fb = jax.jit(lambda l, o, v: render_batched_c2f(
-                params, dcfg, l,
-                jnp.broadcast_to(o, (F,) + o.shape[1:]),
-                jnp.broadcast_to(v, (F,) + v.shape[1:]),
-                (img, img), cfg.march,
-                proxy=proxy,
-                proxy_backoff=cfg.march.proxy_backoff,
-                proxy_band=cfg.march.proxy_band,
-                verify_mode=cfg.march.proxy_verify_mode,
-                verify_band=cfg.march.proxy_verify_band,
-                verify_round_caps=cfg.march.proxy_verify_caps,
-                proxy_block=cfg.march.proxy_block_width,
-                shared_origin=True))  # pinhole: one origin per frame
+
+            def batched_step(l, o, v):
+                of = jnp.broadcast_to(o, (F,) + o.shape[1:])
+                vf = jnp.broadcast_to(v, (F,) + v.shape[1:])
+                out = render_batched_c2f(
+                    params, dcfg, l, of, vf,
+                    (img, img), cfg.march,
+                    proxy=proxy,
+                    proxy_backoff=cfg.march.proxy_backoff,
+                    proxy_band=cfg.march.proxy_band,
+                    verify_mode=cfg.march.proxy_verify_mode,
+                    verify_band=cfg.march.proxy_verify_band,
+                    verify_hits=cfg.march.proxy_verify_hits,
+                    verify_round_caps=cfg.march.proxy_verify_caps,
+                    proxy_block=cfg.march.proxy_block_width,
+                    shared_origin=True)  # pinhole: one origin per frame
+                if cfg.march.proxy_verify_hits == "polish":
+                    # trace-only path: hits are proxy-confident; the
+                    # timed step must include the full-decoder finalize
+                    # for the headline to stay genuine
+                    from dist_renderer_tpu.ops.renderer import (
+                        finalize_hits_batched,
+                    )
+
+                    return finalize_hits_batched(
+                        params, dcfg, l, of, vf, out[0], out[1], out[2],
+                        convergence_eps=cfg.march.convergence_eps,
+                        background_depth=cfg.background_depth,
+                        ift_min_denom=cfg.grad.ift_min_denom,
+                        polish_iters=cfg.grad.polish_iters,
+                    )
+                return out
+
+            fb = jax.jit(batched_step)
             float(jnp.sum(fb(lat_b, ob, vb)[0]))
             t0 = time.perf_counter()
             for _ in range(3):

@@ -124,6 +124,25 @@ class MarchConfig:
                                     # dense full-decoder probe evals around
                                     # the proxy depth (ops/cert.py; failures
                                     # demote to the re-march)
+    proxy_verify_hits: str = "march"  # proxy-HIT verify treatment
+                                    # (render_batched_c2f verify_hits):
+                                    # "march" — seeded full-decoder
+                                    # confirmation march per proxy hit;
+                                    # depth/hit genuine out of the trace.
+                                    # "polish" — hits skip the verify
+                                    # march (only band/unres rays
+                                    # re-march); the full-decoder Newton
+                                    # polish in renderer compose()
+                                    # re-anchors depth and demotes hits
+                                    # whose polished |f| exceeds
+                                    # convergence_eps, so RENDERED outputs
+                                    # stay genuine while the verify stage
+                                    # shrinks from ~24% of rays to ~3.4%.
+                                    # Use polish_iters >= 2 with this.
+                                    # Trace-only consumers (raw
+                                    # render_batched_c2f without compose)
+                                    # should finalize hits themselves —
+                                    # see verify_hits docs.
     proxy_verify_band: str = "march"  # band rays under verify_mode="cert":
                                     # "march" (full-decoder march from sphere
                                     # entry — margin error ~1-2e-3) or
@@ -142,16 +161,21 @@ class MarchConfig:
                                     # dominant verify cost and scale
                                     # linearly with this (bench proxy: max
                                     # 7.3e-3 -> band 0.012)
-    proxy_verify_caps: Optional[Tuple[int, ...]] = None
+    proxy_verify_caps: Optional[Tuple[int, ...]] = (2, 4, 12)
                                     # round caps (rounds scheduler) / gen caps
                                     # (queue) for the VERIFY stage only; None
                                     # = the main schedule. The verify step
                                     # distribution is bimodal (seeded hits
                                     # ~1-3 evals, band/unres long), so a tiny
                                     # round 0 + repack stops straggler
-                                    # residency-max on converged lanes
-                                    # (scripts/diag_verify_caps.py)
-    proxy_block_width: Optional[int] = None
+                                    # residency-max on converged lanes.
+                                    # (2,4,12) MEASURED BEST on v5e at 512^2
+                                    # F=64: 16.41 -> 15.47 ms/frame vs the
+                                    # main (4,12), hit flips 0, depth deltas
+                                    # confined to salvage-boundary rays
+                                    # <= 3.4e-3 pre-polish
+                                    # (scripts/diag_verify_caps.py, r5)
+    proxy_block_width: Optional[int] = 1024
                                     # Pallas block (ray lanes) for the PROXY
                                     # march stage only; None = the main
                                     # block (512). The proxy's weights are
@@ -161,9 +185,14 @@ class MarchConfig:
                                     # 2048 on uniform work) — but block
                                     # residency is a max over the block, so
                                     # width also coarsens the work grouping.
-                                    # Rounds scheduler only (the queue
+                                    # 1024 MEASURED BEST in the full graph on
+                                    # v5e at 512^2 F=64 (16.43 -> 15.98
+                                    # ms/frame, bit-identical; 2048 ties at
+                                    # 16.01 — scripts/diag_proxy_block.py,
+                                    # r5). Rounds scheduler only (the queue
                                     # kernel's compaction one-hots scale as
-                                    # block^2 in VMEM).
+                                    # block^2 in VMEM; queue clamps to the
+                                    # main block).
 
 
 @dataclasses.dataclass(frozen=True)

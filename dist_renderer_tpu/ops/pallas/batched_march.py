@@ -587,9 +587,13 @@ def fine_march_rounds(
     fine stage IN ISOLATION timing identical either way — the cost is an
     XLA cross-stage scheduling interaction with the classification
     pipeline, not the binning (round-3 probes, docs/PERFORMANCE.md).
-    Default None = on when f >= 48. A width-quantized INITIAL subkey was
-    also measured and dropped: same isolation-neutrality, but -35% at
-    F<=32 in the full graph.
+    Default None = on when f >= 32: re-measured in round 5 with the
+    proxy pipeline at every production F (scripts/diag_repack_scale.py,
+    512^2 v5e): F=8 0.78x (regression confirmed — gate stays), F=32
+    1.045x, F=64 1.041x — the r3 F=32 regression no longer reproduces
+    on the current pipeline, so the gate moved down from 48. A
+    width-quantized INITIAL subkey was also measured and dropped: same
+    isolation-neutrality, but -35% at F<=32 in the full graph.
     """
     import dataclasses as _dc
 
@@ -618,7 +622,7 @@ def fine_march_rounds(
         init0.update(ox=origins[..., 0], oy=origins[..., 1],
                      oz=origins[..., 2])
     if difficulty_repack is None:
-        difficulty_repack = f >= 48
+        difficulty_repack = f >= 32
     carry_lsdf = difficulty_repack or return_last
     key_s, st0 = sort_fields(key, init0)
     st0["live"] = key_s != 2
@@ -843,6 +847,34 @@ def render_batched_c2f(
                                    # the seeded march in the full graph.
     proxy_band_w: float = 0.02,    # band-probe half-window around the proxy
                                    # argmin (ops/cert.py parabola fit)
+    verify_hits: str = "march",    # proxy-HIT treatment in the verify
+                                   # stage: "march" — every proxy hit
+                                   # confirmed by a seeded full-decoder
+                                   # march (depth + hit genuine straight
+                                   # out of the trace). "polish" — proxy
+                                   # hits SKIP the verify march entirely
+                                   # (only band + unresolved rays re-march
+                                   # with the full decoder); hit depth
+                                   # keeps the proxy's error (~error p99)
+                                   # and the hit mask may carry the
+                                   # proxy's rare false hits (measured
+                                   # 0.07% of hits on the bench proxy).
+                                   # This is a CONTRACT SHIFT, not an
+                                   # accuracy loss: the caller finalizes
+                                   # hits against the full decoder —
+                                   # renderer.py's compose() does it for
+                                   # free (its fp32 Newton polish
+                                   # re-anchors depth and demotes hits
+                                   # whose full-decoder |f| stays above
+                                   # convergence_eps — the march's own
+                                   # hit criterion), finalize_hits_batched
+                                   # does it for trace-only callers.
+                                   # Requires verify_mode="march" +
+                                   # verify_band="march". Motivation:
+                                   # seeded hit confirmation is ~2/3 of
+                                   # verify block-steps at 21% hit rays
+                                   # (scripts/diag_proxy.py r5: verify
+                                   # stage 11.3 of 17.5 ms/frame, F=64).
     verify_round_caps: Optional[Tuple[int, ...]] = None,
                                    # rounds-scheduler cap schedule for the
                                    # VERIFY stage (None = round_caps). The
@@ -940,6 +972,16 @@ def render_batched_c2f(
     if verify_band not in ("march", "probe"):
         raise ValueError(f"verify_band must be 'march' or 'probe', "
                          f"got {verify_band!r}")
+    if verify_hits not in ("march", "polish"):
+        raise ValueError(f"verify_hits must be 'march' or 'polish', "
+                         f"got {verify_hits!r}")
+    if verify_hits == "polish" and (verify_mode != "march"
+                                    or verify_band != "march"):
+        raise ValueError(
+            "verify_hits='polish' composes only with verify_mode='march' "
+            "and verify_band='march' (the cert/probe paths decide hits "
+            "in-trace, which 'polish' explicitly defers to the caller)"
+        )
 
     f = origins.shape[0]
     h, w = img_hw
@@ -1171,6 +1213,14 @@ def render_batched_c2f(
                 diag["cert_demoted"] = jnp.sum(demoted)
                 diag["cert_promoted"] = jnp.sum(promoted)
                 diag["cert_band_probed"] = jnp.sum(probed_miss)
+        elif verify_hits == "polish":
+            # band + unresolved rays only — the rays whose hit/miss verdict
+            # the proxy cannot be trusted on. Confident proxy hits keep
+            # their proxy depth/msdf; the caller's full-decoder finalize
+            # (compose() Newton polish + demote, or finalize_hits_batched)
+            # owns their genuineness.
+            key2 = jnp.where(unres | band, 0, 2).astype(jnp.int32)
+            seed2 = jnp.where(unres, d, jnp.nan)  # band rays: sphere entry
         else:
             key2 = jnp.where(
                 seeded, 1, jnp.where(hitish | band, 0, 2)
@@ -1230,7 +1280,11 @@ def render_batched_c2f(
                 unres = jnp.where(act2, unres2, False)
         else:
             d = jnp.where(act2, d2, d)
-            hit = jnp.where(act2, hit2, False)
+            # non-verified rays keep their incoming flag: in march mode
+            # those are clear misses/skips (hit already False); in polish
+            # mode they include the confident proxy hits, which must
+            # survive to the caller's finalize
+            hit = jnp.where(act2, hit2, hit)
             msdf = jnp.where(act2, msdf2, msdf)
             if dam is not None and dam2 is not None:
                 dam = jnp.where(act2, dam2, dam)

@@ -240,6 +240,27 @@ def render_rays(
         and cfg.normal_eps == 0.0 and hasattr(sdf_fn, "sdg_builder")
     )
 
+    # verify_hits="polish": the proxy trace's confident hits skipped the
+    # verify march, so compose() owns their genuineness — the fp32 Newton
+    # polish re-anchors depth on the FULL decoder and any ray whose
+    # polished |f| stays above the march's own hit criterion
+    # (convergence_eps) is a proxy false hit: demote it to a miss. Its
+    # min_sdf naturally becomes the polished s (the dip value, WITH the
+    # decoder gradient) via the hit-branch scatter below, so silhouette
+    # losses see a correct near-zero margin on exactly the rays that
+    # matter.
+    demote = (
+        cfg.march.proxy_verify_hits == "polish"
+        and getattr(march_fn, "proxy_march", False)
+    )
+    if demote and cfg.grad.polish_iters < 2:
+        raise ValueError(
+            "proxy_verify_hits='polish' requires GradConfig.polish_iters "
+            ">= 2: the demote verdict comes from the safeguarded Newton "
+            "iterations (polish_iters=1 runs zero of them, leaving hit "
+            "depth at raw proxy error and false hits undetected)"
+        )
+
     def compose(o, v, d0, anchor, hit):
         """Differentiable composition at any ray width.
 
@@ -267,25 +288,68 @@ def render_rays(
             # FALSE hits (|f| < eps without a crossing — a loose-eps
             # march produces these on grazing rays) cannot diverge;
             # Newton would otherwise chase a root that does not exist.
+            # under demote (polish-verify) the seeds carry proxy-sized
+            # error, which exposes two flat-field failure modes the
+            # march-mode |s2| <= |s| acceptance tolerates: WANDERING
+            # (equal-|f| steps through a flat |f|~eps pocket walk the
+            # depth arbitrarily far at zero residual cost) and the final
+            # clamped-denominator extrapolation (step = s/ift_min_denom
+            # teleports a flat ray by up to e_field/ift_min_denom). So
+            # polish-verify demands geometric progress per accepted step
+            # and gates the final extrapolation on a real slope; march
+            # mode keeps the round-3-measured behavior bit-for-bit.
+            rho = 0.7 if demote else 1.0
+            acc_any = jnp.zeros_like(hit)
             for _ in range(max(cfg.grad.polish_iters - 1, 0)):
                 ok = hit & (_sg(dd_raw) < -cfg.grad.ift_min_denom)
                 d_try = jnp.where(ok, d0 - s / denom, d0)
                 p_try = o + jnp.where(hit, _sg(d_try), anchor)[:, None] * v
                 s2, dd2, g2 = sdg(latent, p_try, _sg(v))
-                accept = ok & (jnp.abs(_sg(s2)) <= jnp.abs(_sg(s)))
+                accept = ok & (jnp.abs(_sg(s2)) <= rho * jnp.abs(_sg(s)))
+                acc_any = acc_any | accept
                 d0 = _sg(jnp.where(accept, d_try, d0))
                 s = jnp.where(accept, s2, s)
                 dd_raw = jnp.where(accept, _sg(dd2), _sg(dd_raw))
                 g_raw = jnp.where(accept[:, None], g2, g_raw)
                 denom = jnp.minimum(_sg(dd_raw), -cfg.grad.ift_min_denom)
-            depth = d0 - s / denom
+            if demote:
+                # flat-slope rays keep their seed depth as the VALUE (the
+                # proxy march's crossing is the best point estimate there)
+                # and carry zero depth-gradient — an IFT gradient through
+                # a CLAMPED denominator is amplified noise, not signal
+                ok_f = _sg(dd_raw) < -cfg.grad.ift_min_denom
+                depth = d0 - jnp.where(ok_f, s, 0.0 * s) / denom
+            else:
+                depth = d0 - s / denom
+            if demote:
+                # demote only rays whose Newton WALKED somewhere and
+                # bottomed out at a POSITIVE value above eps: an accepted
+                # descent ending at s > eps is a genuine full-decoder dip
+                # that never crosses — a proxy false hit. s < -eps is the
+                # opposite: the point is INSIDE the full-decoder surface,
+                # i.e. a true crossing whose depth the polish is still
+                # pulling back — keep it (demoting these flipped true
+                # hits whose proxy seed overshot the surface). Rays the
+                # safeguard never moved (grazing slope under
+                # ift_min_denom, or overshoot-rejected from the seed) are
+                # fundamentally AMBIGUOUS from point evals alone — any
+                # proxy hit satisfies |f_full| <= e_field at its claimed
+                # crossing, so a stalled |s| in (eps, e_field] cannot
+                # distinguish a displaced true hit from a shallow false
+                # dip (measured at the 32^2 toy fixture: demoting stalled
+                # rays flipped 12 TRUE rim hits). Stalled rays keep the
+                # proxy verdict — the same borderline class as the band
+                # contract; users needing exact rim verdicts use
+                # verify_hits="march".
+                false_dip = acc_any & (_sg(s) > cfg.march.convergence_eps)
+                hit = hit & ~false_dip
             depth = jnp.where(hit, depth, cfg.background_depth)
             g = _sg(g_raw)
             normal = g / jnp.maximum(
                 jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12
             )
             normal = jnp.where(hit[:, None], normal, 0.0)
-            return depth, s, normal
+            return depth, s, normal, hit
         if (cfg.grad.mode == "ift" and cfg.grad.fused_dd
                 and hasattr(sdf_fn, "with_dd")):
             # fused precise VALUE + directional derivative: the tangent
@@ -309,14 +373,41 @@ def render_rays(
             denom = jnp.minimum(dd, -cfg.grad.ift_min_denom)  # front-facing: < 0
             # extra Newton refinements (stop-grad, frozen denominator) let a
             # loose-eps bf16 march still land on the fp32 surface; the LAST
-            # step stays differentiable
+            # step stays differentiable. SAFEGUARDED like the sdg path:
+            # step only where the measured slope is off the clamp and
+            # accept only monotone-|f| steps — the frozen CLAMPED
+            # denominator otherwise turns a near-tangent ray into a
+            # runaway (step = s/ift_min_denom each iteration; the round-3
+            # "d 1.6 -> 16.1 in 3 iterations" divergence, previously
+            # fixed only in the sdg path)
+            ok = hit & (_sg(dd) < -cfg.grad.ift_min_denom)
+            rho = 0.7 if demote else 1.0  # see the sdg-path comment
+            acc_any = jnp.zeros_like(hit)
             for _ in range(max(cfg.grad.polish_iters - 1, 0)):
-                d0 = _sg(jnp.where(hit, d0 - s / denom, d0))
-                p_surf = o + jnp.where(hit, d0, anchor)[:, None] * v
-                s = sdf_fn(latent, p_surf)
-            depth = d0 - s / denom
+                d_try = jnp.where(ok, d0 - s / denom, d0)
+                p_try = o + jnp.where(hit, _sg(d_try), anchor)[:, None] * v
+                s2 = sdf_fn(latent, p_try)
+                accept = ok & (jnp.abs(_sg(s2)) <= rho * jnp.abs(_sg(s)))
+                acc_any = acc_any | accept
+                d0 = _sg(jnp.where(accept, d_try, d0))
+                s = jnp.where(accept, s2, s)
+                p_surf = jnp.where(accept[:, None], p_try, p_surf)
+            if demote:
+                # flat-slope guard on the final extrapolation (sdg-path
+                # comment; here the slope gate is frozen at the seed)
+                ok_f = _sg(dd) < -cfg.grad.ift_min_denom
+                depth = d0 - jnp.where(ok_f, s, 0.0 * s) / denom
+            else:
+                depth = d0 - s / denom
         else:  # "last_step" (DIST default): one unit marching step
             depth = d0 + s
+        if demote:
+            # positive-dip criterion + walked/grazing guard, as in the
+            # sdg path
+            false_dip = _sg(s) > cfg.march.convergence_eps
+            if cfg.grad.mode == "ift":
+                false_dip = false_dip & acc_any
+            hit = hit & ~false_dip
         depth = jnp.where(hit, depth, cfg.background_depth)
 
         # Normals: grad_x f at the surface, normalized. Differentiable
@@ -342,7 +433,7 @@ def render_rays(
             (g,) = pullback(jnp.ones_like(s))
         normal = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
         normal = jnp.where(hit[:, None], normal, 0.0)
-        return depth, s, normal
+        return depth, s, normal, hit
 
     n = origins.shape[0]
     d0 = trace.depth
@@ -371,7 +462,7 @@ def render_rays(
 
         def bucket_branch():
             take = lambda a: jnp.take(a, idx_b, axis=0)
-            d_b, s_b, n_b = compose(
+            d_b, s_b, n_b, h_b = compose(
                 take(origins), take(dirs), take(d0), take(anchor),
                 take(trace.hit),
             )
@@ -428,23 +519,31 @@ def render_rays(
             min_sdf = margins.at[idx_b].set(s_b)
 
             # one fused scatter for depth + normals (separate .at[].set
-            # scatters measured ~2x slower)
+            # scatters measured ~2x slower); under demote the final hit
+            # mask rides the same scatter as a 5th float channel (rays
+            # outside the bucket are misses whenever the cond took this
+            # branch, so the zero base is their correct flag)
+            mask_ch = 1 if demote else 0
             base = jnp.concatenate([
                 jnp.full((1, n), cfg.background_depth, d_b.dtype),
-                jnp.zeros((3, n), n_b.dtype),
+                jnp.zeros((3 + mask_ch, n), n_b.dtype),
             ])
-            vals = jnp.concatenate([d_b[None], n_b.T], axis=0)
-            outp = base.at[:, idx_b].set(vals)
-            return outp[0], min_sdf, outp[1:4].T
+            vals = [d_b[None], n_b.T]
+            if demote:
+                vals.append(h_b[None].astype(n_b.dtype))
+            outp = base.at[:, idx_b].set(jnp.concatenate(vals, axis=0))
+            mask = outp[4] > 0.5 if demote else trace.hit
+            return outp[0], min_sdf, outp[1:4].T, mask
 
         def full_branch():
             return compose(origins, dirs, d0, anchor, trace.hit)
 
-        depth, min_sdf, normal = jax.lax.cond(
+        depth, min_sdf, normal, mask = jax.lax.cond(
             n_hit <= bucket, bucket_branch, full_branch
         )
     else:
-        depth, min_sdf, normal = compose(origins, dirs, d0, anchor, trace.hit)
+        depth, min_sdf, normal, mask = compose(
+            origins, dirs, d0, anchor, trace.hit)
 
     # Rays that never enter the bounding sphere: their margin VALUE is
     # the geometric sphere distance the trace recorded (the decoder was
@@ -471,7 +570,7 @@ def render_rays(
 
     p_out = origins + depth[:, None] * dirs
     return RenderOutput(
-        depth=depth, mask=trace.hit, normal=normal, min_sdf=min_sdf,
+        depth=depth, mask=mask, normal=normal, min_sdf=min_sdf,
         points=p_out, trace=trace,
     )
 
@@ -671,6 +770,7 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig,
                     proxy_band=march.proxy_band,
                     verify_mode=march.proxy_verify_mode,
                     verify_band=march.proxy_verify_band,
+                    verify_hits=march.proxy_verify_hits,
                     verify_round_caps=march.proxy_verify_caps,
                     proxy_block=march.proxy_block_width,
                     interpret=interpret,
@@ -701,6 +801,105 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig,
         return point_fn
 
     return factory
+
+
+def finalize_hits_batched(
+    params,
+    dcfg: DecoderConfig,
+    latents: jax.Array,            # [F, L]
+    origins: jax.Array,            # [F, N, 3]
+    dirs: jax.Array,               # [F, N, 3]
+    depth: jax.Array,              # [F, N] trace depth (proxy-valued hits)
+    hit: jax.Array,                # [F, N] trace hit flags (unverified)
+    msdf: jax.Array,               # [F, N] trace min-SDF margins
+    *,
+    convergence_eps: float,
+    background_depth: float = 10.0,
+    ift_min_denom: float = 1e-2,
+    polish_iters: int = 2,
+    compact_frac: int = 4,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Full-decoder hit finalize for trace-only polish-verify consumers.
+
+    `render_batched_c2f(verify_hits="polish")` returns confident proxy
+    hits with PROXY-valued depth and an unverified hit flag (only band /
+    unresolved rays were re-marched). This applies the same safeguarded
+    full-decoder Newton treatment compose() gives the single-frame
+    render path, batched over frames — making batched depth maps genuine
+    at a fraction of the seeded verify march's cost (measured 11.3 of
+    17.5 ms/frame at F=64, scripts/diag_proxy.py round 5; each finalize
+    eval is one fused value+tangent pass, decoder_apply_with_dd):
+
+      - per-frame hit-first compaction to an n//compact_frac bucket,
+        with ONE whole-batch `lax.cond` full-width fallback if any frame
+        overflows (the cond sits OUTSIDE the frame vmap, so only the
+        taken branch executes);
+      - `polish_iters - 1` safeguarded Newton steps on the precise
+        split_x value + bf16 directional derivative: step only on a real
+        front-facing slope, accept only geometric |f| descent (rho=0.7 —
+        flat-pocket wandering rejected), final extrapolation slope-gated
+        (see compose()'s polish-verify comments for the failure modes);
+      - demote walked positive dips (polished s > convergence_eps with
+        at least one accepted descent step): proxy false hits. Stalled /
+        flat rays keep the proxy verdict — the borderline contract class.
+
+    Returns (depth, hit, msdf): finalized bucket rays carry re-anchored
+    fp32 depth and their polished full-decoder s as the margin; demoted
+    rays read background depth and a genuine positive dip margin.
+    """
+    from dist_renderer_tpu.models.decoder import decoder_apply_with_dd
+
+    f, n = depth.shape
+    bucket = max(n // compact_frac, 1)
+    rho = 0.7
+
+    def polish(z, o_b, v_b, d_b, h_b):
+        fdd = lambda p: decoder_apply_with_dd(params, z, p, v_b, dcfg)
+        p0 = o_b + d_b[:, None] * v_b
+        s, dd = fdd(p0)
+        denom = jnp.minimum(dd, -ift_min_denom)
+        acc_any = jnp.zeros_like(h_b)
+        for _ in range(max(polish_iters - 1, 0)):
+            ok = h_b & (dd < -ift_min_denom)
+            d_try = jnp.where(ok, d_b - s / denom, d_b)
+            s2, dd2 = fdd(o_b + d_try[:, None] * v_b)
+            accept = ok & (jnp.abs(s2) <= rho * jnp.abs(s))
+            acc_any = acc_any | accept
+            d_b = jnp.where(accept, d_try, d_b)
+            s = jnp.where(accept, s2, s)
+            dd = jnp.where(accept, dd2, dd)
+            denom = jnp.minimum(dd, -ift_min_denom)
+        ok_f = dd < -ift_min_denom
+        d_fin = d_b - jnp.where(ok_f, s, 0.0) / denom
+        false_dip = acc_any & (s > convergence_eps)
+        h_new = h_b & ~false_dip
+        d_fin = jnp.where(h_new, d_fin, background_depth)
+        return d_fin, h_new, s
+
+    def frame_bucketed(z, o, v, d, h, m):
+        idx = jnp.argsort(~h)[:bucket]  # hit-first, stable
+        take = lambda a: jnp.take(a, idx, axis=0)
+        d_f, h_f, s_f = polish(z, take(o), take(v), take(d), take(h))
+        # rays outside the bucket are misses whenever this branch runs
+        # (n_hit <= bucket), so base flags/backgrounds are correct
+        d_out = jnp.full((n,), background_depth, d.dtype).at[idx].set(d_f)
+        h_out = jnp.zeros((n,), bool).at[idx].set(h_f)
+        m_out = m.at[idx].set(s_f)
+        return d_out, h_out, m_out
+
+    def frame_full(z, o, v, d, h, m):
+        d_f, h_f, s_f = polish(z, o, v, d, h)
+        return (jnp.where(h, d_f, d), jnp.where(h, h_f, h),
+                jnp.where(h, s_f, m))
+
+    n_hit_max = jnp.max(jnp.sum(hit, axis=1))
+    return jax.lax.cond(
+        n_hit_max <= bucket,
+        lambda: jax.vmap(frame_bucketed)(
+            latents, origins, dirs, depth, hit, msdf),
+        lambda: jax.vmap(frame_full)(
+            latents, origins, dirs, depth, hit, msdf),
+    )
 
 
 def render_color_rays(

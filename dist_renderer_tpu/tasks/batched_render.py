@@ -113,6 +113,7 @@ def main(argv=None):
                 proxy_backoff=pbo, proxy_band=pband,
                 verify_mode=cfg.march.proxy_verify_mode,
                 verify_band=cfg.march.proxy_verify_band,
+                verify_hits=cfg.march.proxy_verify_hits,
                 verify_round_caps=cfg.march.proxy_verify_caps,
                 proxy_block=cfg.march.proxy_block_width,
                 interpret=jax.default_backend() != "tpu",

@@ -132,6 +132,40 @@ def main():
 
     run("full ", None)
     run("proxy", (proxy, pcfg))
+    # band-only verify (verify_hits="polish"): hits skip the seeded
+    # confirmation march; the proxy-vs-polish delta is the seeded-hit
+    # confirmation's cost, polish-vs-noverify is the band/unres re-march
+    run("proxy-polish", (proxy, pcfg), verify_hits="polish")
+
+    # polish trace + the batched full-decoder finalize IN ONE JIT — the
+    # genuine polish-mode production step (what bench.py times)
+    from dist_renderer_tpu.ops.renderer import finalize_hits_batched
+
+    def _fin_step(l, o_, v_):
+        of = jnp.broadcast_to(o_, (F,) + o_.shape[1:])
+        vf = jnp.broadcast_to(v_, (F,) + v_.shape[1:])
+        out = render_batched_c2f(
+            params, dcfg, l, of, vf, (img, img), march,
+            strides=(16, 4), coarse_steps=16, shared_origin=True,
+            proxy=(proxy, pcfg), proxy_backoff=pbo, proxy_band=pband,
+            scheduler=args.scheduler, interpret=interp,
+            verify_hits="polish", **vkw)
+        return finalize_hits_batched(
+            params, dcfg, l, of, vf, out[0], out[1], out[2],
+            convergence_eps=march.convergence_eps, polish_iters=2)
+
+    fin = jax.jit(_fin_step)
+    out = fin(lat, ob, vb)
+    float(jnp.sum(out[0]))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = fin(lat, ob, vb)
+    jax.block_until_ready(out[0])
+    float(jnp.sum(out[0]))
+    dt = (time.perf_counter() - t0) / 3 / F
+    print(f"[proxy-polish+finalize] {dt*1e3:8.2f} ms/frame  "
+          f"hits={np.asarray(out[1]).sum()/F:.0f}", flush=True)
+
     # UNVERIFIED proxy trace: the proxy-vs-noverify delta is the verify
     # stage's full cost (kernel + glue) at this F/scheduler — the number
     # the verify-cap sweeps are trying to shrink

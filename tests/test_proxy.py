@@ -559,3 +559,244 @@ def test_verify_mode_validation(decoders):
     with pytest.raises(ValueError, match="verify_band"):
         render_batched_c2f(params, dcfg, z0[None], ob, vb,
                            verify_band="probes", **kw)
+
+
+def test_polish_verify_render_parity(decoders, exact):
+    """proxy_verify_hits='polish': confident proxy hits skip the verify
+    march entirely (only band/unres rays re-march); compose()'s fp32
+    full-decoder Newton polish re-anchors their depth and demotes any
+    hit whose polished |f| exceeds convergence_eps (the march's own hit
+    criterion). End-to-end render() must hold the SAME production parity
+    bars as the march-verify path (test_proxy_verified_march_parity)."""
+    params, z0, dcfg, proxy, pcfg = decoders
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(IMG, IMG))
+    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+
+    def run(hits_mode):
+        cfg = RenderConfig(
+            img_h=IMG, img_w=IMG,
+            march=MarchConfig(
+                max_steps=50, convergence_eps=2e-3, depth_eps=5e-4,
+                coarse_to_fine=True, scheduler="queue",
+                proxy_verify_hits=hits_mode,
+            ),
+            # polish_iters=4 (3 Newton iterations): the toy proxy's seeds
+            # carry ~10x the production proxy's error, so one extra
+            # safeguarded Newton step is needed to land the frontal p95
+            # under the production 1e-3 bar (production runs 2)
+            grad=GradConfig(mode="ift", polish_iters=4),
+            compute_dtype="bfloat16", use_pallas=True,
+        )
+        fac = make_march_factory(params, dcfg, cfg, march_params=proxy,
+                                 march_dcfg=pcfg)
+        return render(sdf_fn, z0, cam, cfg, fac)
+
+    fast = run("polish")
+    ref = run("march")
+
+    eh, fh = np.asarray(exact.mask), np.asarray(fast.mask)
+    both = eh & fh
+    assert both.sum() > 0.9 * eh.sum()
+    # the toy fixture proxy's field error (p95 ~7e-3) is ~10x the
+    # production bench proxy's, and polish-mode verdict ambiguity scales
+    # with it (|f| in (eps, e_field] at a claimed crossing cannot
+    # distinguish a displaced true hit from a shallow false dip) — so the
+    # agreement bar here is looser than march-verify's 0.985; the
+    # CONFINEMENT bar (all flips genuinely borderline) is the contract
+    agree = (eh == fh).mean()
+    assert agree > 0.975, f"hit agreement vs exact {agree:.4f}"
+    dis = eh != fh
+    if dis.any():
+        ms = np.abs(np.asarray(exact.min_sdf))
+        band = MarchConfig().proxy_band
+        assert ms[dis].max() < 2 * band, (
+            f"non-borderline hit flip: |min_sdf| up to {ms[dis].max():.4f}"
+        )
+    # depth: polish-mode hits were never touched by a full-decoder march,
+    # so this is the safeguarded Newton polish alone pulling ~proxy-p99
+    # seeds onto the fp32 surface. On the TOY fixture the learned field
+    # is wiggly (locally-flat pockets, pre-crossing dips) and the proxy
+    # tube is ~10x the production one, so a tail of rim-adjacent rays
+    # stalls at its seed BY DESIGN (the safeguards reject flat-slope and
+    # non-descending steps rather than runaway — the bars below encode
+    # exactly that bound). The production 1e-3 frontal-p95 bar is
+    # enforced on hardware against the bench proxy
+    # (scripts/diag_polish_parity.py; docs/PERFORMANCE.md round 5).
+    from dist_renderer_tpu.models.proxy import proxy_error_report
+    tube = proxy_error_report(params, dcfg, proxy, pcfg, z0[None],
+                              n=8192)["p95"]
+    derr = np.abs(np.asarray(fast.depth) - np.asarray(exact.depth))
+    assert np.median(derr[both]) < 3e-4  # bulk of hits: converged
+    frontal = np.abs(np.asarray(exact.normal)[..., 2]) > 0.2
+    p95 = np.percentile(derr[both & frontal], 95)
+    assert p95 < 1.5 * tube, (
+        f"polish-verify p95 depth err {p95:.2e} above the toy proxy tube"
+    )
+    # the structural contract: NO ray ever leaves the proxy error tube
+    # (a Newton runaway/wander under a clamped denominator did exactly
+    # that before the renderer.py flat-slope + geometric-progress guards)
+    assert derr[both].max() < 8e-2, (
+        f"polish-verify max depth err {derr[both].max():.2e} (runaway?)"
+    )
+    # and against the march-verify render directly: flips confined to
+    # borderline rays, common-hit depths agree post-polish
+    rh = np.asarray(ref.mask)
+    flips = rh != fh
+    assert flips.mean() < 0.03, f"polish-vs-march mask flips {flips.mean():.4f}"
+    if flips.any():
+        ms = np.abs(np.asarray(exact.min_sdf))
+        assert ms[flips].max() < 2 * MarchConfig().proxy_band, (
+            f"non-borderline polish-vs-march flip: |min_sdf| up to "
+            f"{ms[flips].max():.4f}"
+        )
+    common = rh & fh
+    dvm = np.abs(np.asarray(fast.depth) - np.asarray(ref.depth))[common]
+    assert np.percentile(dvm, 95) < 1.5 * tube, (
+        f"polish-vs-march p95 depth delta {np.percentile(dvm, 95):.2e}"
+    )
+    # demoted rays must carry a genuine non-negative margin (their
+    # polished full-decoder dip value), not a stale hit margin
+    demoted = rh & ~fh
+    if demoted.any():
+        msd = np.asarray(fast.min_sdf)[demoted]
+        assert (msd > -2e-3).all(), f"demoted-ray margin {msd.min():.2e}"
+
+
+def test_polish_verify_gradients_match(decoders):
+    """Fitting gradients through the polish-verify render match the
+    march-verify render's: the demote mask is stop-gradient, margins and
+    depth still flow through the same full-decoder recompute."""
+    from dist_renderer_tpu.utils.losses import masked_l1
+
+    params, z0, dcfg, proxy, pcfg = decoders
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(IMG, IMG))
+    sdf_fn = lambda z, p: decoder_apply(params, z, p, dcfg)
+    target = jnp.full((IMG, IMG), 1.5)
+    mask = jnp.ones((IMG, IMG), bool)
+
+    def gradz(hits_mode):
+        cfg = RenderConfig(
+            img_h=IMG, img_w=IMG,
+            march=MarchConfig(
+                max_steps=50, convergence_eps=2e-3, depth_eps=5e-4,
+                coarse_to_fine=True, scheduler="queue",
+                proxy_verify_hits=hits_mode,
+            ),
+            grad=GradConfig(mode="ift", polish_iters=3),
+            compute_dtype="bfloat16", use_pallas=True,
+        )
+        fac = make_march_factory(params, dcfg, cfg, march_params=proxy,
+                                 march_dcfg=pcfg)
+
+        def loss(z):
+            out = render(sdf_fn, z, cam, cfg, fac)
+            return masked_l1(out.depth, target, mask)
+
+        return jax.grad(loss)(z0)
+
+    g_m = gradz("march")
+    g_p = gradz("polish")
+    cos = float(
+        jnp.sum(g_m * g_p) / (jnp.linalg.norm(g_m) * jnp.linalg.norm(g_p))
+    )
+    assert cos > 0.97, f"grad cos {cos:.4f}"
+
+
+def test_verify_hits_validation(decoders):
+    """verify_hits typos raise; polish composes only with march/march."""
+    from dist_renderer_tpu.ops.camera import pixel_rays
+    from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
+
+    params, z0, dcfg, proxy, pcfg = decoders
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(IMG, IMG))
+    o, v = pixel_rays(cam, IMG, IMG)
+    ob, vb = o[None], v[None]
+    march = MarchConfig(max_steps=50, coarse_to_fine=True)
+    kw = dict(img_hw=(IMG, IMG), march=march, strides=(4,),
+              shared_origin=True, interpret=True, proxy=(proxy, pcfg))
+    with pytest.raises(ValueError, match="verify_hits"):
+        render_batched_c2f(params, dcfg, z0[None], ob, vb,
+                           verify_hits="polished", **kw)
+    with pytest.raises(ValueError, match="verify_hits"):
+        render_batched_c2f(params, dcfg, z0[None], ob, vb,
+                           verify_hits="polish", verify_mode="cert", **kw)
+
+
+def test_finalize_hits_batched_parity(decoders, exact):
+    """Trace-only polish contract: render_batched_c2f(verify_hits=
+    'polish') + finalize_hits_batched must be at least as accurate vs
+    the fp32 exact render as the march-verify batched trace it replaces
+    (whose raw depths only converge to |f| < convergence_eps), with
+    flips confined to borderline rays and demoted rays carrying genuine
+    positive dip margins. Two identical-latent frames exercise the
+    vmap against the single-frame exact reference."""
+    from dist_renderer_tpu.models.proxy import proxy_error_report
+    from dist_renderer_tpu.ops.camera import pixel_rays
+    from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
+    from dist_renderer_tpu.ops.renderer import finalize_hits_batched
+
+    params, z0, dcfg, proxy, pcfg = decoders
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(IMG, IMG))
+    o, v = pixel_rays(cam, IMG, IMG)
+    F = 2
+    lat = jnp.stack([z0, z0])    # identical frames: exact ref applies
+    ob = jnp.broadcast_to(o[None], (F,) + o.shape)
+    vb = jnp.broadcast_to(v[None], (F,) + v.shape)
+    march = MarchConfig(max_steps=50, convergence_eps=2e-3, depth_eps=5e-4,
+                        coarse_to_fine=True)
+    kw = dict(img_hw=(IMG, IMG), march=march, strides=(4,),
+              shared_origin=True, interpret=True, proxy=(proxy, pcfg))
+
+    d_ref, h_ref, m_ref = render_batched_c2f(
+        params, dcfg, lat, ob, vb, verify_hits="march", **kw)[:3]
+    d_tr, h_tr, m_tr = render_batched_c2f(
+        params, dcfg, lat, ob, vb, verify_hits="polish", **kw)[:3]
+    d_p, h_p, m_p = finalize_hits_batched(
+        params, dcfg, lat, ob, vb, d_tr, h_tr, m_tr,
+        convergence_eps=march.convergence_eps, polish_iters=4)
+
+    tube = proxy_error_report(params, dcfg, proxy, pcfg, z0[None],
+                              n=8192)["p95"]
+    rh, ph = np.asarray(h_ref), np.asarray(h_p)
+    flips = rh != ph
+    assert flips.mean() < 0.03, f"finalize flips {flips.mean():.4f}"
+    if flips.any():
+        ms = np.abs(np.asarray(m_ref))
+        assert ms[flips].max() < 2 * MarchConfig().proxy_band, (
+            f"non-borderline finalize flip: |min_sdf| {ms[flips].max():.4f}"
+        )
+    # accuracy vs the fp32 exact render, quantile for quantile: the
+    # finalized depths must be no worse than the march-verify raw trace
+    # (in practice better — finalize Newton-anchors to the fp32 surface
+    # while the raw march stops anywhere inside the |f| < eps tube)
+    de = np.asarray(exact.depth).reshape(-1)
+    eh = np.asarray(exact.mask).reshape(-1)
+    for fi in range(F):
+        b_ref = eh & rh[fi]
+        b_p = eh & ph[fi]
+        err_ref = np.abs(np.asarray(d_ref)[fi] - de)[b_ref]
+        err_p = np.abs(np.asarray(d_p)[fi] - de)[b_p]
+        assert np.median(err_p) <= np.median(err_ref) + 1e-4, (
+            f"frame {fi}: finalize median {np.median(err_p):.2e} vs "
+            f"march-verify {np.median(err_ref):.2e}"
+        )
+        assert np.percentile(err_p, 95) < 1.5 * tube, (
+            f"frame {fi}: finalize p95 {np.percentile(err_p, 95):.2e}"
+        )
+        assert err_p.max() < 8e-2, (
+            f"frame {fi}: finalize max {err_p.max():.2e} (runaway?)"
+        )
+    demoted = h_tr & ~h_p
+    if np.asarray(demoted).any():
+        msd = np.asarray(m_p)[np.asarray(demoted)]
+        assert (msd > -2e-3).all(), f"demoted margin {msd.min():.2e}"
+    # overflow fallback: a tiny bucket must take the full-width branch
+    # and still produce the same verdict structure
+    d_f, h_f, m_f = finalize_hits_batched(
+        params, dcfg, lat, ob, vb, d_tr, h_tr, m_tr,
+        convergence_eps=march.convergence_eps, polish_iters=4,
+        compact_frac=IMG * IMG)  # bucket=1 -> full-width branch
+    fl2 = np.asarray(h_f) != ph
+    assert fl2.mean() < 0.02, f"full-width branch diverges {fl2.mean():.4f}"
+    dd2 = np.abs(np.asarray(d_f) - np.asarray(d_p))[np.asarray(h_f) & ph]
+    assert np.percentile(dd2, 95) < 1e-4, "bucket vs full-width depth"
