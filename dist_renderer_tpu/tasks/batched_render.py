@@ -45,6 +45,21 @@ def main(argv=None):
                     help="path to a distilled proxy npz (models/proxy.py); "
                          "the march runs the proxy, a full-decoder verify "
                          "re-derives depth + hit in-pipeline")
+    ap.add_argument("--scan", action="store_true",
+                    help="with --stream: run the whole chunk loop ON DEVICE "
+                         "(lax.map over chunk-reshaped latents inside one "
+                         "jit) instead of a host loop of per-chunk "
+                         "dispatches. The host loop pays an eager latent "
+                         "slice + a dispatch round-trip per chunk over the "
+                         "tunnel (r5: config #5 measured 36 ms/frame at "
+                         "chunk=128 vs ~17 in the resident-args F=64 bench); "
+                         "the scan is one dispatch for the entire run")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="frames per compiled launch on the --pallas path "
+                         "(must be a multiple of --views; default: largest "
+                         "views-multiple <= 128). The r5 config-#5 run at "
+                         "512^2 measured 36 ms/frame at chunk=128 vs ~17 in "
+                         "the F=64 bench — chunk is the first A/B knob")
     args = ap.parse_args(argv)
 
     params, base_latent, dcfg = load_task_decoder(args)
@@ -80,10 +95,17 @@ def main(argv=None):
         # chunk must be a multiple of views: each chunk's frame i pairs
         # with view (i % views), so a chunk that straddles a latent
         # boundary mid-ring would pair frames with the WRONG cameras
-        chunk = min(128 - 128 % args.views if args.views <= 128
-                    else args.views, n_frames)
-        while chunk > args.views and n_frames % chunk:
-            chunk -= args.views
+        if args.chunk is not None:
+            if args.chunk % args.views or n_frames % args.chunk:
+                raise SystemExit(
+                    f"--chunk {args.chunk} must be a multiple of --views "
+                    f"({args.views}) dividing latents*views ({n_frames})")
+            chunk = args.chunk
+        else:
+            chunk = min(128 - 128 % args.views if args.views <= 128
+                        else args.views, n_frames)
+            while chunk > args.views and n_frames % chunk:
+                chunk -= args.views
         reps = (chunk + args.views - 1) // args.views
 
         proxy = None
@@ -129,7 +151,21 @@ def main(argv=None):
                 return (jnp.sum(jnp.where(h, d, 0.0)),
                         jnp.sum(h.astype(jnp.int32)))
 
+            @jax.jit
+            def render_stream_scan(lat_frames, o_views, v_views):
+                lat_c = lat_frames.reshape(n_frames // chunk, chunk, -1)
+                ds, hs = jax.lax.map(
+                    lambda lc: render_chunk_summary(lc, o_views, v_views),
+                    lat_c)
+                return jnp.sum(ds, dtype=jnp.float64
+                               if jax.config.jax_enable_x64
+                               else jnp.float32), jnp.sum(hs)
+
             def render_batch(latents):
+                if args.scan:
+                    lat_frames = jnp.repeat(latents, args.views, axis=0)
+                    ds, hs = render_stream_scan(lat_frames, origins, dirs)
+                    return float(ds), int(hs)
                 lat_frames = jnp.repeat(latents, args.views, axis=0)
                 dsum = 0.0
                 hits = 0
@@ -182,6 +218,10 @@ def main(argv=None):
         # streams every chunk with a real per-chunk host fetch
         lat_frames = jnp.repeat(latents, args.views, axis=0)
         float(render_chunk_summary(lat_frames[:chunk], origins, dirs)[0])
+        if args.scan:
+            # AOT-compile the one-dispatch program so the timed region is
+            # pure device time (running it once as warmup would BE the run)
+            render_stream_scan.lower(lat_frames, origins, dirs).compile()
         t0 = time.perf_counter()
         dsum, hits = render_batch(latents)
         dt = time.perf_counter() - t0
