@@ -119,6 +119,30 @@ def test_batched_render_stream_matches_materialized(capsys):
     )
 
 
+def test_batched_render_stream_scan_matches_host_loop(capsys):
+    """--scan (whole chunk loop on device via lax.map, one dispatch)
+    must report the same summary as the host chunk loop, including with
+    an explicit --chunk override; non-divisible --chunk errors."""
+    import json as _json
+
+    from dist_renderer_tpu.tasks.batched_render import main
+
+    args = TINY + ["--latents", "4", "--views", "2", "--pallas", "--stream"]
+    main(args)
+    host = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(args + ["--scan"])
+    scan = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(args + ["--scan", "--chunk", "2"])
+    scan2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for got in (scan, scan2):
+        assert got["hit_frac"] == pytest.approx(host["hit_frac"], abs=1e-6)
+        assert got["mean_hit_depth"] == pytest.approx(
+            host["mean_hit_depth"], abs=1e-4
+        )
+    with pytest.raises(SystemExit):
+        main(args + ["--chunk", "3"])
+
+
 def test_evaluate_image_metrics(tmp_path):
     """The eval driver's chamfer AND render-space metrics: a decoder
     fitted to the GT shape must score near-perfect on all axes; the
