@@ -260,6 +260,7 @@ def main():
                     verify_band=cfg.march.proxy_verify_band,
                     verify_hits=cfg.march.proxy_verify_hits,
                     verify_round_caps=cfg.march.proxy_verify_caps,
+                    verify_gen_caps=cfg.march.proxy_verify_caps_queue,
                     proxy_block=cfg.march.proxy_block_width,
                     shared_origin=True)  # pinhole: one origin per frame
                 if cfg.march.proxy_verify_hits == "polish":

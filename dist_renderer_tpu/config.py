@@ -175,6 +175,16 @@ class MarchConfig:
                                     # confined to salvage-boundary rays
                                     # <= 3.4e-3 pre-polish
                                     # (scripts/diag_verify_caps.py, r5)
+    proxy_verify_caps_queue: Optional[Tuple[int, ...]] = None
+                                    # gen caps (queue scheduler, F=1 latency
+                                    # path) for the VERIFY stage; None = the
+                                    # main queue gen caps (6, 16). Kept
+                                    # separate from proxy_verify_caps: the
+                                    # rounds-tuned (2,4,12) reused as queue
+                                    # gen caps REGRESSED F=1 fwd 25.3 ->
+                                    # 26.5 ms (r5 batch #1 bench vs
+                                    # BENCH_r04; diag_verify_caps F=1 queue
+                                    # sweep decides any non-None default)
     proxy_block_width: Optional[int] = 1024
                                     # Pallas block (ray lanes) for the PROXY
                                     # march stage only; None = the main

@@ -876,6 +876,14 @@ def render_batched_c2f(
                                    # (scripts/diag_proxy.py r5: verify
                                    # stage 11.3 of 17.5 ms/frame, F=64).
     verify_round_caps: Optional[Tuple[int, ...]] = None,
+    verify_gen_caps: Optional[Tuple[int, ...]] = None,
+                                   # queue-scheduler gen-cap schedule for the
+                                   # VERIFY stage (None = the main queue
+                                   # caps). Separate from verify_round_caps:
+                                   # the rounds-tuned (2,4,12) default was
+                                   # measured to REGRESS the F=1 queue path
+                                   # when reused as gen caps (r5 batch #1
+                                   # bench: fwd 25.3 -> 26.5 ms)
                                    # rounds-scheduler cap schedule for the
                                    # VERIFY stage (None = round_caps). The
                                    # verify stage's step distribution is
@@ -1234,7 +1242,7 @@ def render_batched_c2f(
             shared, bank, key2, seed2, vdiag, block,
             want_anchor=return_anchor, want_steps=return_steps,
             want_last=return_last, caps=verify_round_caps,
-            qcaps=verify_round_caps,
+            qcaps=verify_gen_caps,
         )
         if with_diag:
             diag.update({f"verify_{k_}": v_ for k_, v_ in vdiag.items()})

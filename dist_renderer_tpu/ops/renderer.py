@@ -772,6 +772,7 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig,
                     verify_band=march.proxy_verify_band,
                     verify_hits=march.proxy_verify_hits,
                     verify_round_caps=march.proxy_verify_caps,
+                    verify_gen_caps=march.proxy_verify_caps_queue,
                     proxy_block=march.proxy_block_width,
                     interpret=interpret,
                 )
@@ -897,8 +898,15 @@ def finalize_hits_batched(
         n_hit_max <= bucket,
         lambda: jax.vmap(frame_bucketed)(
             latents, origins, dirs, depth, hit, msdf),
-        lambda: jax.vmap(frame_full)(
-            latents, origins, dirs, depth, hit, msdf),
+        # overflow fallback: SEQUENTIAL frames (lax.map, not vmap) — a
+        # vmapped full-width branch materializes [F*N, 259] fp32
+        # activations (~17 GB at F=64/512^2, past HBM) and its compile
+        # reproducibly kills the remote compile helper (r5 batch #2:
+        # HTTP 500 on the trace+finalize module). One frame at a time
+        # bounds the branch at [N, 259] (~272 MB) with identical results
+        lambda: jax.lax.map(
+            lambda t: frame_full(*t),
+            (latents, origins, dirs, depth, hit, msdf)),
     )
 
 

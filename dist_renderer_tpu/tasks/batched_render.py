@@ -137,6 +137,7 @@ def main(argv=None):
                 verify_band=cfg.march.proxy_verify_band,
                 verify_hits=cfg.march.proxy_verify_hits,
                 verify_round_caps=cfg.march.proxy_verify_caps,
+                verify_gen_caps=cfg.march.proxy_verify_caps_queue,
                 proxy_block=cfg.march.proxy_block_width,
                 interpret=jax.default_backend() != "tpu",
             )[:2]

@@ -154,17 +154,20 @@ def main():
             params, dcfg, l, of, vf, out[0], out[1], out[2],
             convergence_eps=march.convergence_eps, polish_iters=2)
 
-    fin = jax.jit(_fin_step)
-    out = fin(lat, ob, vb)
-    float(jnp.sum(out[0]))
-    t0 = time.perf_counter()
-    for _ in range(3):
+    try:
+        fin = jax.jit(_fin_step)
         out = fin(lat, ob, vb)
-    jax.block_until_ready(out[0])
-    float(jnp.sum(out[0]))
-    dt = (time.perf_counter() - t0) / 3 / F
-    print(f"[proxy-polish+finalize] {dt*1e3:8.2f} ms/frame  "
-          f"hits={np.asarray(out[1]).sum()/F:.0f}", flush=True)
+        float(jnp.sum(out[0]))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fin(lat, ob, vb)
+        jax.block_until_ready(out[0])
+        float(jnp.sum(out[0]))
+        dt = (time.perf_counter() - t0) / 3 / F
+        print(f"[proxy-polish+finalize] {dt*1e3:8.2f} ms/frame  "
+              f"hits={np.asarray(out[1]).sum()/F:.0f}", flush=True)
+    except Exception as e:  # keep the remaining rows on a compile failure
+        print(f"[proxy-polish+finalize] FAILED: {e}", flush=True)
 
     # UNVERIFIED proxy trace: the proxy-vs-noverify delta is the verify
     # stage's full cost (kernel + glue) at this F/scheduler — the number

@@ -97,6 +97,8 @@ def main():
             shared_origin=True, interpret=interp,
             proxy=proxy, proxy_backoff=bo, proxy_band=pband,
             verify_mode="march", verify_round_caps=vc,
+            verify_gen_caps=vc,  # queue sweeps: the verify stage's gen
+                                 # caps are a separate knob as of r5
             scheduler=args.scheduler,
             **({"queue_caps": tuple(int(c) for c in
                                     args.queue_caps.split(","))}
