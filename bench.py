@@ -46,7 +46,7 @@ def main():
                          "--verify-hits polish — each extra iteration is "
                          "one fused sdg launch at the recompute bucket)")
     ap.add_argument("--verify-hits", default=None,
-                    choices=["march", "polish"],
+                    choices=["march", "polish", "polish-all"],
                     help="proxy-hit verify treatment (MarchConfig."
                          "proxy_verify_hits): 'polish' skips the seeded "
                          "hit-confirmation march; compose()'s full-decoder "
@@ -155,7 +155,7 @@ def main():
         grad=GradConfig(mode="ift", compact_frac=4,
                         recompute=args.recompute,
                         polish_iters=(args.polish_iters or 2)
-                        if args.verify_hits == "polish"
+                        if args.verify_hits in ("polish", "polish-all")
                         else (args.polish_iters or 1)) if fast
         else GradConfig(mode="last_step"),
         compute_dtype="bfloat16" if fast else "float32",
@@ -263,10 +263,13 @@ def main():
                     verify_gen_caps=cfg.march.proxy_verify_caps_queue,
                     proxy_block=cfg.march.proxy_block_width,
                     shared_origin=True)  # pinhole: one origin per frame
-                if cfg.march.proxy_verify_hits == "polish":
+                vh = cfg.march.proxy_verify_hits
+                if vh in ("polish", "polish-all"):
                     # trace-only path: hits are proxy-confident; the
                     # timed step must include the full-decoder finalize
-                    # for the headline to stay genuine
+                    # for the headline to stay genuine. polish-all:
+                    # band rays ride the hit channel as WEAK candidates
+                    # (trailing mask) and need a bigger bucket
                     from dist_renderer_tpu.ops.renderer import (
                         finalize_hits_batched,
                     )
@@ -277,6 +280,8 @@ def main():
                         background_depth=cfg.background_depth,
                         ift_min_denom=cfg.grad.ift_min_denom,
                         polish_iters=cfg.grad.polish_iters,
+                        weak=out[3] if vh == "polish-all" else None,
+                        compact_frac=3 if vh == "polish-all" else 4,
                     )
                 return out
 

@@ -143,6 +143,17 @@ class MarchConfig:
                                     # render_batched_c2f without compose)
                                     # should finalize hits themselves —
                                     # see verify_hits docs.
+                                    # "polish-all" — additionally, fine
+                                    # band rays skip their entry-seeded
+                                    # re-march (the EXPENSIVE verify term:
+                                    # 6.8 of 11.6 ms/frame at F=64 for
+                                    # 3.4% of rays, r5) and become weak
+                                    # candidates polished from the proxy
+                                    # dip anchor; stalled weak rays
+                                    # default to miss. Batched
+                                    # trace+finalize contract; the
+                                    # single-frame render path maps it
+                                    # to "polish".
     proxy_verify_band: str = "march"  # band rays under verify_mode="cert":
                                     # "march" (full-decoder march from sphere
                                     # entry — margin error ~1-2e-3) or

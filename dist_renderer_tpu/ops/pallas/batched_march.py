@@ -980,11 +980,11 @@ def render_batched_c2f(
     if verify_band not in ("march", "probe"):
         raise ValueError(f"verify_band must be 'march' or 'probe', "
                          f"got {verify_band!r}")
-    if verify_hits not in ("march", "polish"):
-        raise ValueError(f"verify_hits must be 'march' or 'polish', "
-                         f"got {verify_hits!r}")
-    if verify_hits == "polish" and (verify_mode != "march"
-                                    or verify_band != "march"):
+    if verify_hits not in ("march", "polish", "polish-all"):
+        raise ValueError(f"verify_hits must be 'march', 'polish' or "
+                         f"'polish-all', got {verify_hits!r}")
+    if verify_hits != "march" and (verify_mode != "march"
+                                   or verify_band != "march"):
         raise ValueError(
             "verify_hits='polish' composes only with verify_mode='march' "
             "and verify_band='march' (the cert/probe paths decide hits "
@@ -1125,7 +1125,8 @@ def render_batched_c2f(
 
     # band probing needs the proxy argmin anchor — a dam payload in the
     # proxy stage's repack sorts the march-band mode doesn't pay for
-    need_anchor = verify and verify_band == "probe"
+    need_anchor = verify and (verify_band == "probe"
+                              or verify_hits == "polish-all")
     d, hit, msdf, dam, lastf, steps, unres = fine_stage(
         shared_m, bank_m, key, init_depth, diag if with_diag else None,
         block_m, want_anchor=return_anchor or need_anchor,
@@ -1229,6 +1230,23 @@ def render_batched_c2f(
             # owns their genuineness.
             key2 = jnp.where(unres | band, 0, 2).astype(jnp.int32)
             seed2 = jnp.where(unres, d, jnp.nan)  # band rays: sphere entry
+        elif verify_hits == "polish-all":
+            # ZERO full-decoder marching for band rays too: fine-level
+            # band rays become WEAK candidates seeded at the proxy dip
+            # anchor (dam) — the finalize polishes them with the full
+            # decoder and demotes non-crossers (stalled weak rays default
+            # to MISS, unlike confident hits: a band ray is presumptively
+            # a near-miss). Skip-class band rays still re-march: their
+            # dam localizes the dip only to a COARSE cell (the same
+            # mislocalization that rules out probe-band on skip rays
+            # above). Motivation: the entry-seeded band re-march is the
+            # EXPENSIVE verify term — 6.8 of 11.6 ms/frame at F=64 for
+            # 3.4% of rays (residency is a block max; scattered rim rays
+            # pin blocks), vs 4.8 for the seeded-hit confirmation
+            # (scripts/diag_proxy.py r5 batch #2).
+            band_fine = band & ~skip
+            key2 = jnp.where(unres | (band & skip), 0, 2).astype(jnp.int32)
+            seed2 = jnp.where(unres, d, jnp.nan)
         else:
             key2 = jnp.where(
                 seeded, 1, jnp.where(hitish | band, 0, 2)
@@ -1301,6 +1319,13 @@ def render_batched_c2f(
             if lastf is not None and lastf2 is not None:
                 lastf = jnp.where(act2, lastf2, lastf)
                 unres = jnp.where(act2, unres2, False)
+            if verify_hits == "polish-all":
+                # weak candidates ride the hit channel seeded at dam;
+                # the trailing `weak` output tells the finalize which
+                # flagged rays default to miss when Newton stalls
+                weak = band_fine & ~hit
+                d = jnp.where(weak, dam, d)
+                hit = hit | weak
 
     out = (d, hit, msdf)
     if return_anchor:
@@ -1309,6 +1334,10 @@ def render_batched_c2f(
         out = out + (steps,)
     if return_last:
         out = out + (lastf, unres)
+    if verify and verify_hits == "polish-all":
+        # trailing weak-candidate mask (band rays riding the hit channel
+        # seeded at dam) for finalize_hits_batched(weak=...)
+        out = out + (weak,)
     return out + ((diag,) if with_diag else ())
 
 

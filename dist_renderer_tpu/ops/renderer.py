@@ -250,7 +250,7 @@ def render_rays(
     # losses see a correct near-zero margin on exactly the rays that
     # matter.
     demote = (
-        cfg.march.proxy_verify_hits == "polish"
+        cfg.march.proxy_verify_hits in ("polish", "polish-all")
         and getattr(march_fn, "proxy_march", False)
     )
     if demote and cfg.grad.polish_iters < 2:
@@ -770,7 +770,14 @@ def make_march_factory(params, dcfg: DecoderConfig, cfg: RenderConfig,
                     proxy_band=march.proxy_band,
                     verify_mode=march.proxy_verify_mode,
                     verify_band=march.proxy_verify_band,
-                    verify_hits=march.proxy_verify_hits,
+                    # "polish-all" is a BATCHED trace+finalize contract
+                    # (weak candidates need finalize_hits_batched's
+                    # asymmetric demote); the single-frame render path
+                    # maps it to "polish" — band rays keep their genuine
+                    # entry-seeded re-march and compose() handles hits
+                    verify_hits=("polish"
+                                 if march.proxy_verify_hits == "polish-all"
+                                 else march.proxy_verify_hits),
                     verify_round_caps=march.proxy_verify_caps,
                     verify_gen_caps=march.proxy_verify_caps_queue,
                     proxy_block=march.proxy_block_width,
@@ -819,6 +826,15 @@ def finalize_hits_batched(
     ift_min_denom: float = 1e-2,
     polish_iters: int = 2,
     compact_frac: int = 4,
+    weak: Optional[jax.Array] = None,  # [F, N] verify_hits="polish-all"
+                                   # weak-candidate mask (band rays seeded
+                                   # at the proxy dip anchor): these keep
+                                   # the hit ONLY if their polished full-
+                                   # decoder s ends <= convergence_eps —
+                                   # a stalled weak ray defaults to MISS
+                                   # (a band ray is presumptively a near
+                                   # miss), unlike confident proxy hits
+                                   # whose stall keeps the proxy verdict
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full-decoder hit finalize for trace-only polish-verify consumers.
 
@@ -854,7 +870,10 @@ def finalize_hits_batched(
     bucket = max(n // compact_frac, 1)
     rho = 0.7
 
-    def polish(z, o_b, v_b, d_b, h_b):
+    if weak is None:
+        weak = jnp.zeros_like(hit)
+
+    def polish(z, o_b, v_b, d_b, h_b, w_b):
         fdd = lambda p: decoder_apply_with_dd(params, z, p, v_b, dcfg)
         p0 = o_b + d_b[:, None] * v_b
         s, dd = fdd(p0)
@@ -872,15 +891,19 @@ def finalize_hits_batched(
             denom = jnp.minimum(dd, -ift_min_denom)
         ok_f = dd < -ift_min_denom
         d_fin = d_b - jnp.where(ok_f, s, 0.0) / denom
-        false_dip = acc_any & (s > convergence_eps)
+        # confident hits demote only on a WALKED positive dip; weak
+        # candidates demote whenever their final s stays above eps
+        # (stalled weak ray -> miss: see the `weak` parameter docs)
+        false_dip = (acc_any | w_b) & (s > convergence_eps)
         h_new = h_b & ~false_dip
         d_fin = jnp.where(h_new, d_fin, background_depth)
         return d_fin, h_new, s
 
-    def frame_bucketed(z, o, v, d, h, m):
+    def frame_bucketed(z, o, v, d, h, m, w):
         idx = jnp.argsort(~h)[:bucket]  # hit-first, stable
         take = lambda a: jnp.take(a, idx, axis=0)
-        d_f, h_f, s_f = polish(z, take(o), take(v), take(d), take(h))
+        d_f, h_f, s_f = polish(z, take(o), take(v), take(d), take(h),
+                               take(w))
         # rays outside the bucket are misses whenever this branch runs
         # (n_hit <= bucket), so base flags/backgrounds are correct
         d_out = jnp.full((n,), background_depth, d.dtype).at[idx].set(d_f)
@@ -888,8 +911,8 @@ def finalize_hits_batched(
         m_out = m.at[idx].set(s_f)
         return d_out, h_out, m_out
 
-    def frame_full(z, o, v, d, h, m):
-        d_f, h_f, s_f = polish(z, o, v, d, h)
+    def frame_full(z, o, v, d, h, m, w):
+        d_f, h_f, s_f = polish(z, o, v, d, h, w)
         return (jnp.where(h, d_f, d), jnp.where(h, h_f, h),
                 jnp.where(h, s_f, m))
 
@@ -897,7 +920,7 @@ def finalize_hits_batched(
     return jax.lax.cond(
         n_hit_max <= bucket,
         lambda: jax.vmap(frame_bucketed)(
-            latents, origins, dirs, depth, hit, msdf),
+            latents, origins, dirs, depth, hit, msdf, weak),
         # overflow fallback: SEQUENTIAL frames (lax.map, not vmap) — a
         # vmapped full-width branch materializes [F*N, 259] fp32
         # activations (~17 GB at F=64/512^2, past HBM) and its compile
@@ -906,7 +929,7 @@ def finalize_hits_batched(
         # bounds the branch at [N, 259] (~272 MB) with identical results
         lambda: jax.lax.map(
             lambda t: frame_full(*t),
-            (latents, origins, dirs, depth, hit, msdf)),
+            (latents, origins, dirs, depth, hit, msdf, weak)),
     )
 
 

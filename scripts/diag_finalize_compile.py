@@ -84,14 +84,14 @@ def main():
               flush=True)
         return out
 
-    def trace(l, o_, v_):
+    def trace(l, o_, v_, verify_hits="polish"):
         of = jnp.broadcast_to(o_, (F,) + o_.shape[1:])
         vf = jnp.broadcast_to(v_, (F,) + v_.shape[1:])
         return render_batched_c2f(
             params, dcfg, l, of, vf, (img, img), march,
             strides=(16, 4), coarse_steps=16, shared_origin=True,
             proxy=(proxy, pcfg), proxy_backoff=pbo, proxy_band=pband,
-            verify_hits="polish",
+            verify_hits=verify_hits,
             verify_round_caps=march.proxy_verify_caps,
             proxy_block=march.proxy_block_width,
             interpret=jax.default_backend() != "tpu")
@@ -142,6 +142,43 @@ def main():
             dt = (time.perf_counter() - t0) / 3 / F
             print(f"[two-dispatch] {dt*1e3:8.2f} ms/frame  "
                   f"hits={np.asarray(out[1]).sum()/F:.0f}", flush=True)
+
+    if "polish-all" not in skip:
+        comb_all = jax.jit(lambda l, o_, v_: (lambda t: finalize_hits_batched(
+            params, dcfg, l,
+            jnp.broadcast_to(o_, (F,) + o_.shape[1:]),
+            jnp.broadcast_to(v_, (F,) + v_.shape[1:]),
+            t[0], t[1], t[2],
+            convergence_eps=march.convergence_eps, polish_iters=2,
+            weak=t[3], compact_frac=3))(trace(l, o_, v_, "polish-all")))
+        out = timed("combined-polish-all", comb_all, lat, ob, vb)
+        if out is not None:
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = comb_all(lat, ob, vb)
+            jax.block_until_ready(out[0])
+            float(jnp.sum(out[0]))
+            dt = (time.perf_counter() - t0) / 3 / F
+            print(f"[combined-polish-all] {dt*1e3:8.2f} ms/frame  "
+                  f"hits={np.asarray(out[1]).sum()/F:.0f}", flush=True)
+            # hardware parity vs the march-verify trace (the exactness
+            # anchor for batched verdicts): flips + common-hit deltas
+            ref = jax.jit(
+                lambda l, o_, v_: trace(l, o_, v_, "march"))(lat, ob, vb)
+            rh = np.asarray(ref[1]); ph = np.asarray(out[1])
+            rd = np.asarray(ref[0]); pd = np.asarray(out[0])
+            rm = np.abs(np.asarray(ref[2]))
+            flips = rh != ph
+            both = rh & ph
+            dd_ = np.abs(rd - pd)[both]
+            if dd_.size == 0:
+                dd_ = np.zeros(1)
+            print(f"[parity polish-all vs march] flips={flips.sum()} "
+                  f"({flips.mean():.5f})  flip|msdf|max="
+                  f"{rm[flips].max() if flips.any() else 0:.2e}  "
+                  f"common-hit depth delta med={np.median(dd_):.2e} "
+                  f"p95={np.percentile(dd_, 95):.2e} max={dd_.max():.2e}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -169,6 +169,39 @@ def main():
     except Exception as e:  # keep the remaining rows on a compile failure
         print(f"[proxy-polish+finalize] FAILED: {e}", flush=True)
 
+    # polish-all: fine band rays skip their entry-seeded re-march too —
+    # weak candidates polished from the proxy dip anchor. The delta vs
+    # proxy-polish+finalize is the band re-march's cost net of the
+    # slightly bigger finalize bucket
+    def _fin_all_step(l, o_, v_):
+        of = jnp.broadcast_to(o_, (F,) + o_.shape[1:])
+        vf = jnp.broadcast_to(v_, (F,) + v_.shape[1:])
+        out = render_batched_c2f(
+            params, dcfg, l, of, vf, (img, img), march,
+            strides=(16, 4), coarse_steps=16, shared_origin=True,
+            proxy=(proxy, pcfg), proxy_backoff=pbo, proxy_band=pband,
+            scheduler=args.scheduler, interpret=interp,
+            verify_hits="polish-all", **vkw)
+        return finalize_hits_batched(
+            params, dcfg, l, of, vf, out[0], out[1], out[2],
+            convergence_eps=march.convergence_eps, polish_iters=2,
+            weak=out[3], compact_frac=3)
+
+    try:
+        fin_all = jax.jit(_fin_all_step)
+        out = fin_all(lat, ob, vb)
+        float(jnp.sum(out[0]))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fin_all(lat, ob, vb)
+        jax.block_until_ready(out[0])
+        float(jnp.sum(out[0]))
+        dt = (time.perf_counter() - t0) / 3 / F
+        print(f"[proxy-polish-all+finalize] {dt*1e3:8.2f} ms/frame  "
+              f"hits={np.asarray(out[1]).sum()/F:.0f}", flush=True)
+    except Exception as e:
+        print(f"[proxy-polish-all+finalize] FAILED: {e}", flush=True)
+
     # UNVERIFIED proxy trace: the proxy-vs-noverify delta is the verify
     # stage's full cost (kernel + glue) at this F/scheduler — the number
     # the verify-cap sweeps are trying to shrink

@@ -227,6 +227,76 @@ def test_batched_proxy_verify_matches_full(decoders, exact):
         assert np.abs(msp[near] - msf[near]).max() < 5e-3
 
 
+def test_polish_all_verify_parity(decoders, exact):
+    """verify_hits='polish-all': fine band rays do ZERO full-decoder
+    marching — they ride the hit channel as WEAK candidates seeded at
+    the proxy dip anchor (dam) and the finalize polishes them with the
+    full decoder (stalled weak ray -> miss). vs the march-verify
+    reference: flips stay band-confined, depth quantiles meet the same
+    bars as the 'polish' contract, and the weak mask only marks rays
+    the proxy called near-misses."""
+    from dist_renderer_tpu.models.proxy import proxy_error_report
+    from dist_renderer_tpu.ops.camera import pixel_rays
+    from dist_renderer_tpu.ops.pallas.batched_march import render_batched_c2f
+    from dist_renderer_tpu.ops.renderer import finalize_hits_batched
+
+    params, z0, dcfg, proxy, pcfg = decoders
+    cam = Camera.looking_at((0.0, 0.0, -2.0), focal=40.0, img_hw=(IMG, IMG))
+    o, v = pixel_rays(cam, IMG, IMG)
+    F = 2
+    lat = jnp.stack([z0, z0])
+    ob = jnp.broadcast_to(o[None], (F,) + o.shape)
+    vb = jnp.broadcast_to(v[None], (F,) + v.shape)
+    march = MarchConfig(max_steps=50, convergence_eps=2e-3, depth_eps=5e-4,
+                        coarse_to_fine=True)
+    kw = dict(img_hw=(IMG, IMG), march=march, strides=(4,),
+              shared_origin=True, interpret=True, proxy=(proxy, pcfg))
+
+    d_ref, h_ref, m_ref = render_batched_c2f(
+        params, dcfg, lat, ob, vb, verify_hits="march", **kw)[:3]
+    out = render_batched_c2f(
+        params, dcfg, lat, ob, vb, verify_hits="polish-all", **kw)
+    d_tr, h_tr, m_tr, weak = out[0], out[1], out[2], out[3]
+
+    # weak candidates are flagged hits whose proxy margin sat in the band
+    wk, ht = np.asarray(weak), np.asarray(h_tr)
+    assert wk.any(), "fixture produced no weak band candidates"
+    assert (~wk | ht).all(), "weak ray not riding the hit channel"
+    assert (np.abs(np.asarray(m_tr))[wk] <
+            2 * MarchConfig().proxy_band).all()
+
+    d_p, h_p, m_p = finalize_hits_batched(
+        params, dcfg, lat, ob, vb, d_tr, h_tr, m_tr,
+        convergence_eps=march.convergence_eps, polish_iters=4, weak=weak)
+
+    tube = proxy_error_report(params, dcfg, proxy, pcfg, z0[None],
+                              n=8192)["p95"]
+    rh, ph = np.asarray(h_ref), np.asarray(h_p)
+    flips = rh != ph
+    assert flips.mean() < 0.03, f"polish-all flips {flips.mean():.4f}"
+    if flips.any():
+        ms = np.abs(np.asarray(m_ref))
+        assert ms[flips].max() < 2 * MarchConfig().proxy_band, (
+            f"non-borderline polish-all flip: {ms[flips].max():.4f}"
+        )
+    de = np.asarray(exact.depth).reshape(-1)
+    eh = np.asarray(exact.mask).reshape(-1)
+    for fi in range(F):
+        b_ref = eh & rh[fi]
+        b_p = eh & ph[fi]
+        err_ref = np.abs(np.asarray(d_ref)[fi] - de)[b_ref]
+        err_p = np.abs(np.asarray(d_p)[fi] - de)[b_p]
+        assert np.median(err_p) <= np.median(err_ref) + 1e-4
+        assert np.percentile(err_p, 95) < 1.5 * tube
+        assert err_p.max() < 8e-2, f"frame {fi}: max {err_p.max():.2e}"
+    # weak rays that survived must have genuinely converged: their
+    # polished |s| is within the march's own hit criterion
+    kept_weak = wk & ph
+    if kept_weak.any():
+        assert (np.abs(np.asarray(m_p))[kept_weak]
+                <= march.convergence_eps + 1e-4).all()
+
+
 def _batched(decoders, exact_like, **over):
     """render_batched_c2f at the module fixture's scene, F=2."""
     from dist_renderer_tpu.ops.camera import pixel_rays
