@@ -11,6 +11,14 @@ OUT=${1:-/tmp/tpu_r5c}
 mkdir -p "$OUT"
 SMALL="--params-npz .bench_decoder.npz --latents 64 --views 16 --img 512 --fast --pallas --stream --proxy .bench_proxy.npz"
 
+echo "== finalize compile isolation + polish/polish-all timings + parity (F=64) =="
+timeout 3600 python scripts/diag_finalize_compile.py --img 512 --frames 64 \
+  2>"$OUT/fincompile.err" | tee "$OUT/fincompile.txt"
+
+echo "== F=64 decomposition incl. polish-all row =="
+timeout 2400 python scripts/diag_proxy.py --img 512 --frames 64 \
+  2>"$OUT/proxy64c.err" | tee "$OUT/proxy64c.txt"
+
 echo "== A/B base: 64x16 @ 512^2, chunk=128, host loop (r5 config as measured) =="
 timeout 1800 python -m dist_renderer_tpu.tasks.batched_render $SMALL \
   2>"$OUT/ab_base.err" | tee "$OUT/ab_base.json"
