@@ -916,17 +916,21 @@ def finalize_hits_batched(
         return (jnp.where(h, d_f, d), jnp.where(h, h_f, h),
                 jnp.where(h, s_f, m))
 
+    # BOTH branches run frames SEQUENTIALLY (lax.map, not vmap). This is
+    # a remote-compile constraint, not a preference: the F=64-vmapped
+    # finalize module reproducibly kills the compile helper (HTTP 500)
+    # at 512^2 even standalone, while every single-frame-scale module
+    # compiles (r5 scripts/diag_finalize_compile.py). Per-frame work is
+    # unchanged and the bucket dots ([n/4, 259] x [259, 512]) are full
+    # MXU tiles, so sequencing costs only the map's loop overhead; the
+    # vmapped full-width fallback would additionally materialize
+    # [F*N, 259] fp32 activations (~17 GB at F=64/512^2, past HBM).
     n_hit_max = jnp.max(jnp.sum(hit, axis=1))
     return jax.lax.cond(
         n_hit_max <= bucket,
-        lambda: jax.vmap(frame_bucketed)(
-            latents, origins, dirs, depth, hit, msdf, weak),
-        # overflow fallback: SEQUENTIAL frames (lax.map, not vmap) — a
-        # vmapped full-width branch materializes [F*N, 259] fp32
-        # activations (~17 GB at F=64/512^2, past HBM) and its compile
-        # reproducibly kills the remote compile helper (r5 batch #2:
-        # HTTP 500 on the trace+finalize module). One frame at a time
-        # bounds the branch at [N, 259] (~272 MB) with identical results
+        lambda: jax.lax.map(
+            lambda t: frame_bucketed(*t),
+            (latents, origins, dirs, depth, hit, msdf, weak)),
         lambda: jax.lax.map(
             lambda t: frame_full(*t),
             (latents, origins, dirs, depth, hit, msdf, weak)),
