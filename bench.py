@@ -263,35 +263,68 @@ def main():
                     verify_gen_caps=cfg.march.proxy_verify_caps_queue,
                     proxy_block=cfg.march.proxy_block_width,
                     shared_origin=True)  # pinhole: one origin per frame
-                vh = cfg.march.proxy_verify_hits
-                if vh in ("polish", "polish-all"):
-                    # trace-only path: hits are proxy-confident; the
-                    # timed step must include the full-decoder finalize
-                    # for the headline to stay genuine. polish-all:
-                    # band rays ride the hit channel as WEAK candidates
-                    # (trailing mask) and need a bigger bucket
-                    from dist_renderer_tpu.ops.renderer import (
-                        finalize_hits_batched,
-                    )
+                return out
 
+            fb = jax.jit(batched_step)
+            vh = cfg.march.proxy_verify_hits
+            if proxy is not None and vh in ("polish", "polish-all"):
+                # polish modes: the timed step must include the
+                # full-decoder finalize for the headline to stay genuine.
+                # ONE compiled single-frame finalize host-looped over
+                # frames with async dispatch — an F=64-wide finalize
+                # module (vmap or lax.map, one jit) reproducibly kills
+                # the remote compile helper at 512^2 while every
+                # single-frame-scale module compiles
+                # (scripts/diag_finalize_compile.py, r5 batches #2-#4)
+                from dist_renderer_tpu.ops.renderer import (
+                    finalize_hits_batched,
+                )
+
+                @jax.jit
+                def fin1(l_all, o1, v1, d_all, h_all, m_all, w_all, i):
+                    # ONE compiled program; the frame index is traced so
+                    # every frame reuses it. All slicing happens inside
+                    # jit — eager per-frame slices would pay a tunnel
+                    # round-trip each
+                    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i, 1, 0)
                     return finalize_hits_batched(
-                        params, dcfg, l, of, vf, out[0], out[1], out[2],
+                        params, dcfg, sl(l_all), o1, v1,
+                        sl(d_all), sl(h_all), sl(m_all),
                         convergence_eps=cfg.march.convergence_eps,
                         background_depth=cfg.background_depth,
                         ift_min_denom=cfg.grad.ift_min_denom,
                         polish_iters=cfg.grad.polish_iters,
-                        weak=out[3] if vh == "polish-all" else None,
                         compact_frac=3 if vh == "polish-all" else 4,
-                    )
-                return out
+                        weak=sl(w_all))
 
-            fb = jax.jit(batched_step)
-            float(jnp.sum(fb(lat_b, ob, vb)[0]))
-            t0 = time.perf_counter()
-            for _ in range(3):
-                d_b = fb(lat_b, ob, vb)[0]
-            jax.block_until_ready(d_b)
-            dt_b = (time.perf_counter() - t0) / 3
+                import numpy as _np
+
+                def step_polish(l, o, v):
+                    out = fb(l, o, v)
+                    w = (out[3] if vh == "polish-all"
+                         else jnp.zeros_like(out[1]))
+                    ds = []
+                    for i in range(F):
+                        ds.append(fin1(l, o[:1], v[:1], out[0], out[1],
+                                       out[2], w, _np.int32(i))[0])
+                    return ds
+
+                ds = step_polish(lat_b, ob, vb)
+                jax.block_until_ready(ds[-1])
+                float(jnp.sum(ds[-1]))
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    ds = step_polish(lat_b, ob, vb)
+                jax.block_until_ready(ds[-1])
+                float(jnp.sum(ds[-1]))
+                dt_b = (time.perf_counter() - t0) / 3
+            else:
+                float(jnp.sum(fb(lat_b, ob, vb)[0]))
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    d_b = fb(lat_b, ob, vb)[0]
+                jax.block_until_ready(d_b)
+                dt_b = (time.perf_counter() - t0) / 3
             batched_mrays = F * n_rays / dt_b / 1e6
         except Exception as e:  # keep the bench robust on odd platforms
             print(f"# batched bench skipped: {e}", file=sys.stderr)
