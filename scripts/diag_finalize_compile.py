@@ -54,7 +54,7 @@ def main():
     img, F = args.img, args.frames
     dcfg = DecoderConfig()
     target = round_union(torus_sdf(0.6, 0.25), sphere_sdf(0.45), k=8.0)
-    params, _ = get_or_fit_cached(
+    params, lat0 = get_or_fit_cached(
         os.path.join(repo, ".bench_decoder.npz"), target, dcfg)
     proxy, pcfg = load_proxy_npz(os.path.join(repo, ".bench_proxy.npz"))
     march = MarchConfig(max_steps=args.steps)
@@ -66,7 +66,7 @@ def main():
     o, v = pixel_rays(cam, img, img)
     ob = jnp.broadcast_to(o[None], (1,) + o.shape)
     vb = jnp.broadcast_to(v[None], (1,) + v.shape)
-    lat = jnp.zeros((F, dcfg.latent_size), jnp.float32) + 0.001 * \
+    lat = jnp.broadcast_to(lat0[None], (F, dcfg.latent_size)) + 0.001 * \
         jax.random.normal(jax.random.PRNGKey(9), (F, dcfg.latent_size))
     n = img * img
 
@@ -144,13 +144,27 @@ def main():
                   f"hits={np.asarray(out[1]).sum()/F:.0f}", flush=True)
 
     if "polish-all" not in skip:
-        comb_all = jax.jit(lambda l, o_, v_: (lambda t: finalize_hits_batched(
-            params, dcfg, l,
-            jnp.broadcast_to(o_, (F,) + o_.shape[1:]),
-            jnp.broadcast_to(v_, (F,) + v_.shape[1:]),
-            t[0], t[1], t[2],
-            convergence_eps=march.convergence_eps, polish_iters=2,
-            weak=t[3], compact_frac=3))(trace(l, o_, v_, "polish-all")))
+        # production structure (bench.py): trace jit + ONE single-frame
+        # finalize jit dispatched per frame with a traced index — the
+        # F-wide finalize module is uncompilable on this service
+        jt_all = jax.jit(lambda l, o_, v_: trace(l, o_, v_, "polish-all"))
+
+        @jax.jit
+        def fin1(l_all, o1, v1, d_all, h_all, m_all, w_all, i):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i, 1, 0)
+            return finalize_hits_batched(
+                params, dcfg, sl(l_all), o1, v1,
+                sl(d_all), sl(h_all), sl(m_all),
+                convergence_eps=march.convergence_eps, polish_iters=2,
+                compact_frac=3, weak=sl(w_all))
+
+        def comb_all(l, o_, v_):
+            t = jt_all(l, o_, v_)
+            outs = [fin1(l, o_[:1], v_[:1], t[0], t[1], t[2], t[3],
+                         np.int32(i)) for i in range(F)]
+            return (jnp.concatenate([u[0] for u in outs]),
+                    jnp.concatenate([u[1] for u in outs]))
+
         out = timed("combined-polish-all", comb_all, lat, ob, vb)
         if out is not None:
             t0 = time.perf_counter()
